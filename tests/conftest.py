@@ -2,10 +2,18 @@
 testable without a TPU pod (must run before jax is imported anywhere)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the session environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel) and a sitecustomize hook imports jax at interpreter startup, so
+# the env var alone is read too early to change — flip the live jax config
+# (the backend itself is created lazily, so this still wins).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,216 @@
+"""CLI orchestration: precompute | train | predict | e2e.
+
+The L4/L5 layers of the reference collapsed into one coherent entry point
+(reference main.py:6-26 and src/scripts.py:8-70), with back-compat for the
+reference's bare `python main.py [--precompute]` invocation. One path layout
+serves both stages (fixing discrepancy D3).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from tpu_breath.config import (FeatureSpec, Paths, TrainCfg, CNN8_TRAIN,
+                               VGG_TRAIN, DEFAULT_FEATURES)
+from tpu_breath.data import dataset as ds
+from tpu_breath.data import wav as wav_io
+from tpu_breath.utils import display
+
+
+def _build_feature_store(paths: Paths, spec: FeatureSpec,
+                         write_npz: bool = False,
+                         chunk: int = 128) -> ds.FeatureStore:
+    """wav -> batched device feature graph -> FeatureStore (+ caches)."""
+    from tpu_breath.features import extract_features_batched
+
+    train_df, test_df = ds.load_frames(paths)
+    ids, wav_paths = [], []
+    for _, row in train_df.iterrows():
+        ids.append(row["ID"])
+        wav_paths.append(os.path.join(paths.train_audio_dir,
+                                      ds.train_wav_name(row["ID"])))
+    for _, row in test_df.iterrows():
+        ids.append(row["ID"])
+        wav_paths.append(os.path.join(paths.test_audio_dir,
+                                      ds.test_wav_name(row["ID"])))
+
+    display.print_start(f"decoding {len(wav_paths)} wavs")
+    t0 = time.time()
+    wavs = wav_io.load_wav_batch(wav_paths, spec.expected_len)
+    display.print_info(f"decoded in {time.time() - t0:.1f}s")
+
+    display.print_start("extracting features on device")
+    t0 = time.time()
+    feats, scals = extract_features_batched(wavs, spec, chunk=chunk)
+    dt = time.time() - t0
+    display.print_success(
+        f"{len(ids)} clips in {dt:.1f}s ({len(ids) / dt:.1f} clips/s)")
+
+    store = ds.FeatureStore(ids, feats, scals)
+    store.save_cache(paths.feature_cache)
+    if write_npz:
+        display.print_start(f"writing npz parity files to {paths.precomputed_dir}")
+        store.save_npz(paths.precomputed_dir, spec)
+    return store
+
+
+def _load_or_build_store(paths: Paths, spec: FeatureSpec) -> ds.FeatureStore:
+    if ds.FeatureStore.cache_exists(paths.feature_cache):
+        display.print_info(f"feature cache hit: {paths.feature_cache}")
+        return ds.FeatureStore.load_cache(paths.feature_cache, mmap=False)
+    return _build_feature_store(paths, spec)
+
+
+def cmd_precompute(args) -> None:
+    paths = Paths(root=args.root, out_root=args.out_root)
+    _build_feature_store(paths, DEFAULT_FEATURES, write_npz=args.npz,
+                         chunk=args.chunk)
+
+
+def _prepare_splits(paths: Paths, spec: FeatureSpec):
+    store = _load_or_build_store(paths, spec)
+    train_df, test_df = ds.load_frames(paths)
+    tr_df, va_df = ds.split_train_val(train_df)
+    tr = store.subset(list(tr_df["ID"]))
+    va = store.subset(list(va_df["ID"]))
+    te = store.subset(list(test_df["ID"]))
+    y_tr = ds.labels_from_targets(tr_df["Target"])
+    y_va = ds.labels_from_targets(va_df["Target"])
+    return tr, va, te, y_tr, y_va
+
+
+def _train_one(arch: str, cfg: TrainCfg, tr, va, y_tr, y_va, paths: Paths,
+               mesh=None, resume: bool = False):
+    from tpu_breath.models import registry
+    from tpu_breath.train import loop
+    from tpu_breath.utils.display import count_parameters
+
+    model = registry.build(arch, num_scalar_features=tr.scalars.shape[1])
+    display.print_start(f"training {arch} ({cfg.num_epochs} epochs, "
+                        f"lr {cfg.base_lr}, batch {cfg.batch_size})")
+    save_dir = os.path.join(paths.ckpt_dir, arch)
+    result = loop.fit(model, (tr.features, tr.scalars), (va.features, va.scalars),
+                      y_tr, y_va, cfg, save_dir=save_dir, mesh=mesh,
+                      resume=resume)
+    display.print_success(f"{arch} best val acc {result.best_val_acc:.4f} "
+                          f"@ {result.best_ckpt_path}")
+    # persist history for observability
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "history.jsonl"), "w") as f:
+        for row in result.history:
+            f.write(json.dumps(row) + "\n")
+    return result
+
+
+def cmd_train(args) -> None:
+    paths = Paths(root=args.root, out_root=args.out_root)
+    spec = DEFAULT_FEATURES
+    tr, va, te, y_tr, y_va = _prepare_splits(paths, spec)
+    archs = args.archs.split(",")
+    cfgs = {"cnn8": CNN8_TRAIN, "vgg": VGG_TRAIN}
+    results = {}
+    for arch in archs:
+        cfg = cfgs.get(arch, TrainCfg())
+        if args.epochs:
+            cfg = type(cfg)(**{**cfg.__dict__, "num_epochs": args.epochs})
+        results[arch] = _train_one(arch, cfg, tr, va, y_tr, y_va, paths,
+                                   resume=args.resume)
+    if args.predict:
+        _predict(results, te, paths)
+
+
+def _predict(results, te, paths: Paths) -> None:
+    from tpu_breath import ensemble
+
+    ckpts = [r.best_ckpt_path for r in results.values()]
+    archs = list(results.keys())
+    scores = [r.best_val_acc for r in results.values()]
+    probs = ensemble.weighted_ensemble(ckpts, archs, scores, te.features,
+                                       te.scalars, te.scalars.shape[1])
+    out = os.path.join(paths.submission_dir, "submission.csv")
+    df = ensemble.write_submission(te.ids, probs, out)
+    display.print_success(f"submission written: {out}")
+    print(df.head(10))
+
+
+def cmd_predict(args) -> None:
+    from tpu_breath import ensemble
+    from tpu_breath.train import checkpoint as ckpt_lib
+
+    paths = Paths(root=args.root, out_root=args.out_root)
+    spec = DEFAULT_FEATURES
+    _, _, te, _, _ = _prepare_splits(paths, spec)
+    archs = args.archs.split(",")
+    ckpts, scores = [], []
+    for arch in archs:
+        path = ckpt_lib.latest_checkpoint(os.path.join(paths.ckpt_dir, arch))
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint for {arch}")
+        meta = ckpt_lib.load_metadata(path)
+        ckpts.append(path)
+        scores.append(meta["val_acc"])
+    probs = ensemble.weighted_ensemble(ckpts, archs, scores, te.features,
+                                       te.scalars, te.scalars.shape[1])
+    out = os.path.join(paths.submission_dir, "submission.csv")
+    ensemble.write_submission(te.ids, probs, out)
+    display.print_success(f"submission written: {out}")
+
+
+def cmd_e2e(args) -> None:
+    args.predict = True
+    cmd_train(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpu_breath")
+    # reference back-compat flag (main.py:8)
+    p.add_argument("--precompute", action="store_true",
+                   help="legacy flag: run the precompute stage")
+    sub = p.add_subparsers(dest="cmd")
+
+    def common(sp):
+        sp.add_argument("--root", default="input")
+        sp.add_argument("--out-root", dest="out_root", default=".")
+
+    sp = sub.add_parser("precompute")
+    common(sp)
+    sp.add_argument("--npz", action="store_true",
+                    help="also write reference-schema .npz files")
+    sp.add_argument("--chunk", type=int, default=128)
+    sp.set_defaults(fn=cmd_precompute)
+
+    for name, fn in (("train", cmd_train), ("e2e", cmd_e2e)):
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.add_argument("--archs", default="cnn8,vgg")
+        sp.add_argument("--epochs", type=int, default=0,
+                        help="override epoch count (smoke runs)")
+        sp.add_argument("--predict", action="store_true")
+        sp.add_argument("--resume", action="store_true")
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("predict")
+    common(sp)
+    sp.add_argument("--archs", default="cnn8,vgg")
+    sp.set_defaults(fn=cmd_predict)
+    return p
+
+
+def main(argv=None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.cmd is None:
+        # reference behavior: bare run = train+predict; --precompute flag
+        ns = argparse.Namespace(root="input", out_root=".", npz=False,
+                                chunk=128, archs="cnn8,vgg", epochs=0,
+                                predict=True, resume=False)
+        if args.precompute:
+            cmd_precompute(ns)
+        else:
+            cmd_train(ns)
+        return
+    args.fn(args)

@@ -1,0 +1,135 @@
+"""The batched wav -> (9-channel spectrogram stack, scalar vector) graph.
+
+This is the TPU-native replacement for the reference's per-file librosa worker
+(reference src/precompute/process.py:25-108): instead of 5,000 sequential
+per-clip python calls, a whole shard of waveforms flows through one jitted
+XLA graph of batched matmul-DFTs, filterbank products and scans, producing the
+exact npz feature schema (channel recipes, z-scoring and min-value padding
+semantics included).
+
+Channel order at the model boundary is alphabetical, matching the reference
+Dataset's sorted-key stacking (src/dataset.py:24-26):
+chroma, gammatone, lpc, mel, mel_delta, mel_delta2, mfcc, mod_spec, tempogram.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_breath.config import FeatureSpec, DEFAULT_FEATURES
+from tpu_breath.ops import spectral, cepstral, chroma as chroma_ops
+from tpu_breath.ops import cqt as cqt_ops
+from tpu_breath.ops import lpc as lpc_ops
+from tpu_breath.ops import rhythm, scalars as scalar_ops
+
+
+def _zn(x):
+    return spectral.znorm(x, axes=(-2, -1))
+
+
+def _zn_rows(x):
+    return spectral.znorm(x, axes=(-1,))
+
+
+def _pads(x, spec: FeatureSpec):
+    return spectral.pad_freq_min(spectral.pad_time_min(x, spec.t_fixed),
+                                 spec.n_mels)
+
+
+def extract_features(y: jax.Array,
+                     spec: FeatureSpec = DEFAULT_FEATURES
+                     ) -> tuple[jax.Array, jax.Array]:
+    """y[..., 16000] float32 -> (features[..., 9, 128, 63], scalars[..., 36]).
+
+    Jit-friendly; vmap/shard over the leading batch axes as needed.
+    """
+    sr, hop, n_fft = spec.sr, spec.hop_length, spec.n_fft
+
+    # --- mel + deltas (reference process.py:32-41)
+    mel_spec = spectral.melspectrogram(y, sr, n_fft=n_fft, hop_length=hop,
+                                       n_mels=spec.n_mels, fmax=spec.fmax)
+    mel_db = spectral.power_to_db(mel_spec, ref_max=True)
+    mel_d1 = cepstral.delta(mel_db, order=1)
+    mel_d2 = cepstral.delta(mel_db, order=2)
+    mel_c = _pads(_zn(mel_db), spec)
+    d1_c = _pads(_zn(mel_d1), spec)
+    d2_c = _pads(_zn(mel_d2), spec)
+
+    # --- mfcc stack (process.py:43-49): 40 + delta + delta2 = 120 rows,
+    # per-row z-score, min-padded 120 -> 128
+    mf = cepstral.mfcc(y, sr, spec.n_mfcc, hop, n_fft)
+    mf_all = jnp.concatenate(
+        [mf, cepstral.delta(mf, order=1), cepstral.delta(mf, order=2)], axis=-2)
+    mfcc_c = _pads(_zn_rows(mf_all), spec)
+
+    # --- chroma_stft + chroma_cens stack (process.py:51-57)
+    stft512 = spectral.stft_mag(y, n_fft, hop)
+    ch = chroma_ops.chroma_stft(stft512, sr)
+    cens = cqt_ops.chroma_cens(y, sr, hop, spec.cqt_fmin,
+                               bins_per_octave=spec.cqt_bins_per_octave,
+                               n_octaves=spec.cqt_n_octaves,
+                               win_len_smooth=spec.cens_win_len_smooth)
+    chroma_all = jnp.concatenate([ch, cens], axis=-2)
+    chroma_c = _pads(_zn_rows(chroma_all), spec)
+
+    # --- "gammatone" = 64-band mel filterbank on |STFT| + log1p
+    # (methods.py:136-140; discrepancy D9)
+    gt_fb = jnp.asarray(spectral.mel_matrix(sr, n_fft, spec.n_gammatone))
+    gt = jnp.log1p(jnp.einsum("gf,...ft->...gt", gt_fb, stft512,
+                              precision=spectral.MM_PRECISION))
+    gt_c = _pads(_zn(gt), spec)
+
+    # --- Burg LPC (methods.py:116-134): [12, 98], z-normed then truncated
+    lpc = lpc_ops.lpc_features(y, spec.n_lpc, sr)
+    lpc_c = _pads(_zn(lpc), spec)
+
+    # --- 2-D DCT modulation spectrum (methods.py:142-143)
+    mod = cepstral.mod_spec(mel_db, n_keep=40)
+    mod_c = _pads(_zn(mod), spec)
+
+    # --- tempogram (process.py:74-78): [384, 63], z-normed, truncated to 128
+    onset = rhythm.onset_strength(y, sr, hop)
+    tempo = rhythm.tempogram(onset, spec.tempogram_win_length)
+    tempo_c = _pads(_zn(tempo), spec)
+
+    # --- scalars (methods.py:48-114), reusing the 512-point |STFT|
+    scalars = scalar_ops.extract_scalars(y, sr, hop, n_fft, spec.n_mels,
+                                         stft512_mag=stft512)
+
+    # alphabetical stacking (reference src/dataset.py:24-26)
+    by_name = {
+        "mel": mel_c, "mfcc": mfcc_c, "chroma": chroma_c,
+        "mel_delta": d1_c, "mel_delta2": d2_c, "gammatone": gt_c,
+        "lpc": lpc_c, "mod_spec": mod_c, "tempogram": tempo_c,
+    }
+    feats = jnp.stack([by_name[k] for k in spec.channel_order], axis=-3)
+    return feats, scalars
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _extract_jit(y, spec):
+    return extract_features(y, spec)
+
+
+def extract_features_batched(wavs: np.ndarray,
+                             spec: FeatureSpec = DEFAULT_FEATURES,
+                             chunk: int = 128) -> tuple[np.ndarray, np.ndarray]:
+    """Host convenience: run the jitted graph over a large array of clips in
+    device-sized chunks (the CQT frame expansion is ~6.3 MB/clip, so chunking
+    bounds peak HBM). Returns numpy (features, scalars)."""
+    n = wavs.shape[0]
+    feats_out = np.empty((n, spec.n_channels, spec.n_mels, spec.t_fixed),
+                         np.float32)
+    scal_out = np.empty((n, spec.n_scalars), np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        x = wavs[lo:hi]
+        if hi - lo < chunk:  # keep a single compiled shape
+            x = np.pad(x, ((0, chunk - (hi - lo)), (0, 0)))
+        f, s = _extract_jit(jnp.asarray(x), spec)
+        feats_out[lo:hi] = np.asarray(f)[: hi - lo]
+        scal_out[lo:hi] = np.asarray(s)[: hi - lo]
+    return feats_out, scal_out

@@ -1,0 +1,141 @@
+"""STFT chroma with per-clip tuning estimation (JAX, batched).
+
+Replaces librosa.feature.chroma_stft as used by the reference
+(src/precompute/process.py:52). The pitch-track -> residual-histogram tuning
+estimate is fully static-shaped: candidate masks replace librosa's dynamic
+index arrays, the masked median is a sort+gather, and the 100-bin histogram is
+a scatter-add. The chroma filterbank depends on the traced tuning scalar only
+as a shift of the log-frequency bins, so it is rebuilt per clip with cheap
+[12, n_fft] elementwise math.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+MM_PRECISION = lax.Precision.HIGHEST
+_A440_OVER16 = 27.5  # A440 / 16
+
+
+def _localmax(x: jax.Array, axis: int) -> jax.Array:
+    """librosa.util.localmax: > predecessor, >= successor, edge-padded."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+    lo = [slice(None)] * x.ndim
+    lo[axis] = slice(0, -2)
+    hi = [slice(None)] * x.ndim
+    hi[axis] = slice(2, None)
+    return (x > xp[tuple(lo)]) & (x >= xp[tuple(hi)])
+
+
+def piptrack(S: jax.Array, sr: float, n_fft: int, fmin: float = 150.0,
+             fmax: float = 4000.0, threshold: float = 0.1):
+    """Parabolic-interpolation pitch tracking on magnitudes S[F, T]."""
+    fmax = min(fmax, sr / 2.0)
+    F = S.shape[0]
+    fft_freqs = np.linspace(0, sr / 2, F)
+    avg = 0.5 * (S[2:, :] - S[:-2, :])
+    shift = 2 * S[1:-1, :] - S[2:, :] - S[:-2, :]
+    tiny = np.finfo(np.float32).tiny
+    shift = avg / (shift + (jnp.abs(shift) < tiny))
+    avg = jnp.pad(avg, ((1, 1), (0, 0)))
+    shift = jnp.pad(shift, ((1, 1), (0, 0)))
+    dskew = 0.5 * avg * shift
+    freq_mask = jnp.asarray(((fmin <= fft_freqs) & (fft_freqs < fmax))[:, None])
+    ref_value = threshold * jnp.max(S, axis=0, keepdims=True)
+    idx = freq_mask & _localmax(S * freq_mask, axis=0) & (S > ref_value)
+    bins = jnp.arange(F, dtype=S.dtype)[:, None]
+    pitches = jnp.where(idx, (bins + shift) * float(sr) / n_fft, 0.0)
+    mags = jnp.where(idx, S + dskew, 0.0)
+    return pitches, mags
+
+
+def _masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """np.median over values[mask] (0.0 if the mask is empty)."""
+    flat_v = values.ravel()
+    flat_m = mask.ravel()
+    k = jnp.sum(flat_m)
+    sorted_v = jnp.sort(jnp.where(flat_m, flat_v, jnp.inf))
+    lo = jnp.maximum((k - 1) // 2, 0)
+    hi = jnp.maximum(k // 2, 0)
+    med = 0.5 * (sorted_v[lo] + sorted_v[hi])
+    return jnp.where(k > 0, med, 0.0)
+
+
+def estimate_tuning(S: jax.Array, sr: float, n_fft: int,
+                    bins_per_octave: int = 12,
+                    resolution: float = 0.01) -> jax.Array:
+    """librosa.estimate_tuning(S=...) -> scalar tuning in [-0.5, 0.5) bins."""
+    pitches, mags = piptrack(S, sr, n_fft)
+    pitch_mask = pitches > 0
+    thresh = _masked_median(mags, pitch_mask)
+    sel = (mags >= thresh) & pitch_mask
+    safe_p = jnp.where(sel, pitches, 1.0)
+    octs = jnp.log2(safe_p / _A440_OVER16)
+    residual = jnp.mod(bins_per_octave * octs, 1.0)
+    residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+    n_bins = int(np.ceil(1.0 / resolution))
+    bin_idx = jnp.clip(jnp.floor((residual + 0.5) * n_bins), 0, n_bins - 1
+                       ).astype(jnp.int32)
+    counts = jnp.zeros(n_bins, jnp.int32).at[bin_idx.ravel()].add(
+        sel.ravel().astype(jnp.int32))
+    best = jnp.argmax(counts)
+    tuning = -0.5 + best.astype(jnp.float32) * resolution
+    return jnp.where(jnp.sum(sel) > 0, tuning, 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _chroma_fb_consts(sr: int, n_fft: int, n_chroma: int):
+    """Tuning-independent pieces of librosa.filters.chroma."""
+    frequencies = np.linspace(0, sr, n_fft, endpoint=False)[1:]
+    base = n_chroma * np.log2(frequencies / _A440_OVER16)
+    base = np.concatenate(([base[0] - 1.5 * n_chroma], base))
+    binwidth = np.concatenate((np.maximum(np.diff(base), 1.0), [1.0]))
+    return base.astype(np.float32), binwidth.astype(np.float32)
+
+
+def chroma_filterbank(tuning: jax.Array, sr: int, n_fft: int,
+                      n_chroma: int = 12, ctroct: float = 5.0,
+                      octwidth: float = 2.0) -> jax.Array:
+    """[n_chroma, 1 + n_fft//2] filterbank for a traced tuning scalar."""
+    base, binwidth = _chroma_fb_consts(sr, n_fft, n_chroma)
+    frqbins = jnp.asarray(base) - tuning  # hz_to_octs tuning shift
+    D = frqbins[None, :] - jnp.arange(n_chroma, dtype=jnp.float32)[:, None]
+    half = round(n_chroma / 2)
+    D = jnp.remainder(D + half + 10 * n_chroma, n_chroma) - half
+    wts = jnp.exp(-0.5 * (2 * D / jnp.asarray(binwidth)[None, :]) ** 2)
+    norm = jnp.sqrt(jnp.sum(wts * wts, axis=0, keepdims=True))
+    norm = jnp.where(norm < np.finfo(np.float32).tiny, 1.0, norm)
+    wts = wts / norm
+    wts = wts * jnp.exp(-0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)
+                        )[None, :]
+    wts = jnp.roll(wts, -3 * (n_chroma // 12), axis=0)  # base_c
+    return wts[:, : n_fft // 2 + 1]
+
+
+def _norm_inf_cols(x: jax.Array) -> jax.Array:
+    length = jnp.max(jnp.abs(x), axis=-2, keepdims=True)
+    length = jnp.where(length < np.finfo(np.float32).tiny, 1.0, length)
+    return x / length
+
+
+def chroma_stft_single(S: jax.Array, sr: int, n_chroma: int = 12) -> jax.Array:
+    """One clip: S[F, T] magnitudes -> chroma [n_chroma, T]."""
+    n_fft = 2 * (S.shape[0] - 1)
+    tuning = estimate_tuning(S, sr, n_fft, bins_per_octave=n_chroma)
+    fb = chroma_filterbank(tuning, sr, n_fft, n_chroma)
+    raw = jnp.matmul(fb, S, precision=MM_PRECISION)
+    return _norm_inf_cols(raw)
+
+
+def chroma_stft(S: jax.Array, sr: int, n_chroma: int = 12) -> jax.Array:
+    """Batched: S[..., F, T] -> [..., n_chroma, T]."""
+    fn = functools.partial(chroma_stft_single, sr=sr, n_chroma=n_chroma)
+    for _ in range(S.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(S)

@@ -1,0 +1,240 @@
+"""The 36-dimensional scalar descriptor vector (JAX, batched).
+
+TPU-native replacement for reference src/precompute/methods.py:48-114: every
+librosa/scipy descriptor re-expressed as static-shape batched ops — framing
+as gathers, spectral moments as masked reductions, the Hilbert envelope via
+the matmul FFT (ops/dft.py), find_peaks via ops/peaks.py, percentiles/medians
+via sort+gather. The vector layout matches the reference exactly (and is 36
+wide, not the documented 39 — discrepancy D2 in SURVEY.md).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpu_breath.ops import spectral, dft, peaks
+
+MM_PRECISION = lax.Precision.HIGHEST
+
+
+# -------------------------------------------------------------------------
+# framing descriptors
+# -------------------------------------------------------------------------
+
+def rms_frames(y: jax.Array, frame_length: int = 2048,
+               hop_length: int = 256) -> jax.Array:
+    n = y.shape[-1]
+    pad = [(0, 0)] * (y.ndim - 1) + [(frame_length // 2, frame_length // 2)]
+    yp = jnp.pad(y, pad)
+    n_frames = 1 + n // hop_length
+    fr = spectral.frame_signal(yp, frame_length, hop_length, n_frames)
+    return jnp.sqrt(jnp.mean(fr * fr, axis=-1))
+
+
+def zcr_frames(y: jax.Array, frame_length: int = 2048, hop_length: int = 256,
+               threshold: float = 1e-10) -> jax.Array:
+    n = y.shape[-1]
+    pad = [(0, 0)] * (y.ndim - 1) + [(frame_length // 2, frame_length // 2)]
+    yp = jnp.pad(y, pad, mode="edge")
+    yp = jnp.where(jnp.abs(yp) <= threshold, 0.0, yp)
+    sign = jnp.signbit(yp)
+    n_frames = 1 + n // hop_length
+    fr = spectral.frame_signal(sign, frame_length, hop_length, n_frames)
+    crossings = fr[..., 1:] != fr[..., :-1]
+    # librosa pads the first diff slot with False -> divide by frame_length
+    return jnp.sum(crossings, axis=-1).astype(y.dtype) / frame_length
+
+
+# -------------------------------------------------------------------------
+# spectral-shape descriptors (operate on magnitude spectrograms [..., F, T])
+# -------------------------------------------------------------------------
+
+def _l1_norm_cols(S: jax.Array) -> jax.Array:
+    length = jnp.sum(jnp.abs(S), axis=-2, keepdims=True)
+    length = jnp.where(length < np.finfo(np.float32).tiny, 1.0, length)
+    return S / length
+
+
+def spectral_centroid(S: jax.Array, sr: int, n_fft: int) -> jax.Array:
+    freq = jnp.asarray(np.linspace(0, sr / 2, 1 + n_fft // 2,
+                                   dtype=np.float32))[:, None]
+    return jnp.sum(freq * _l1_norm_cols(S), axis=-2)
+
+
+def spectral_bandwidth(S: jax.Array, sr: int, n_fft: int,
+                       p: float = 2.0) -> jax.Array:
+    freq = jnp.asarray(np.linspace(0, sr / 2, 1 + n_fft // 2,
+                                   dtype=np.float32))[:, None]
+    centroid = spectral_centroid(S, sr, n_fft)[..., None, :]
+    dev = jnp.abs(freq - centroid)
+    return jnp.sum(_l1_norm_cols(S) * dev ** p, axis=-2) ** (1.0 / p)
+
+
+def spectral_rolloff(S: jax.Array, sr: int, n_fft: int,
+                     roll_percent: float = 0.85) -> jax.Array:
+    freq = jnp.asarray(np.linspace(0, sr / 2, 1 + n_fft // 2,
+                                   dtype=np.float32))[:, None]
+    total = jnp.cumsum(S, axis=-2)
+    threshold = roll_percent * total[..., -1:, :]
+    masked = jnp.where(total < threshold, jnp.inf, freq)
+    return jnp.min(masked, axis=-2)
+
+
+def spectral_flatness(S: jax.Array, amin: float = 1e-10,
+                      power: float = 2.0) -> jax.Array:
+    S_thresh = jnp.maximum(amin, S ** power)
+    gmean = jnp.exp(jnp.mean(jnp.log(S_thresh), axis=-2))
+    amean = jnp.mean(S_thresh, axis=-2)
+    return gmean / amean
+
+
+@functools.lru_cache(maxsize=None)
+def _contrast_bands(sr: int, n_fft: int, fmin: float = 200.0,
+                    n_bands: int = 6, quantile: float = 0.02):
+    """Static (start, stop, n_idx) per sub-band, mirroring the oracle's
+    dynamic masks (baseline/dsp_np.spectral_contrast)."""
+    freq = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    octa = np.zeros(n_bands + 2)
+    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
+    bands = []
+    for k in range(n_bands + 1):
+        f_low, f_high = octa[k], octa[k + 1]
+        current = (freq >= f_low) & (freq <= f_high)
+        idx = np.flatnonzero(current)
+        start, stop = idx[0], idx[-1] + 1
+        if k > 0:
+            start -= 1
+        if k == n_bands:
+            stop = len(freq)
+        n_in_band = stop - start
+        sub_stop = stop if k == n_bands else stop - 1
+        n_idx = int(max(np.rint(quantile * n_in_band), 1))
+        bands.append((start, sub_stop, n_idx))
+    return tuple(bands)
+
+
+def spectral_contrast(S: jax.Array, sr: int, n_fft: int) -> jax.Array:
+    """[..., n_bands+1, T] valley-to-peak contrast in dB."""
+    bands = _contrast_bands(sr, n_fft)
+    valleys, peaks_ = [], []
+    for (start, stop, n_idx) in bands:
+        sub = jnp.sort(S[..., start:stop, :], axis=-2)
+        valleys.append(jnp.mean(sub[..., :n_idx, :], axis=-2))
+        peaks_.append(jnp.mean(sub[..., -n_idx:, :], axis=-2))
+    valley = jnp.stack(valleys, axis=-2)
+    peak = jnp.stack(peaks_, axis=-2)
+    return (spectral.power_to_db(peak, ref_max=False)
+            - spectral.power_to_db(valley, ref_max=False))
+
+
+# -------------------------------------------------------------------------
+# statistics helpers
+# -------------------------------------------------------------------------
+
+def _skew(x: jax.Array) -> jax.Array:
+    """scipy.stats.skew(bias=True) along the last axis."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    d = x - mean
+    m2 = jnp.mean(d * d, axis=-1)
+    m3 = jnp.mean(d * d * d, axis=-1)
+    return m3 / jnp.maximum(m2, 1e-30) ** 1.5
+
+
+def _kurtosis(x: jax.Array) -> jax.Array:
+    """scipy.stats.kurtosis (Fisher, bias=True) along the last axis."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    d = x - mean
+    m2 = jnp.mean(d * d, axis=-1)
+    m4 = jnp.mean(d ** 4, axis=-1)
+    return m4 / jnp.maximum(m2, 1e-30) ** 2 - 3.0
+
+
+def _percentile(x_sorted: jax.Array, q: float) -> jax.Array:
+    """np.percentile (linear interpolation) given pre-sorted last axis."""
+    n = x_sorted.shape[-1]
+    pos = q / 100.0 * (n - 1)
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    return x_sorted[..., lo] * (1 - frac) + x_sorted[..., min(lo + 1, n - 1)] * frac
+
+
+def _mstd(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    mean = jnp.mean(x, axis=-1)
+    var = jnp.mean((x - mean[..., None]) ** 2, axis=-1)
+    return mean, jnp.sqrt(var)
+
+
+# -------------------------------------------------------------------------
+# the 36-dim vector
+# -------------------------------------------------------------------------
+
+def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
+                    n_fft: int = 512, n_mels: int = 128,
+                    stft512_mag: jax.Array | None = None) -> jax.Array:
+    """y[..., 16000] -> [..., 36]. Layout mirrors reference
+    src/precompute/methods.py:48-114 exactly. stft512_mag may be passed to
+    reuse the |STFT| the feature graph already computed."""
+    feats = []
+
+    rms_v = rms_frames(y, 2048, hop_length)
+    zcr_v = zcr_frames(y, 2048, hop_length)
+    for v in (rms_v, zcr_v):
+        m, s = _mstd(v)
+        feats += [m, s, jnp.max(v, axis=-1), jnp.min(v, axis=-1)]
+
+    S2048 = spectral.stft_mag(y, 2048, hop_length)
+    S2048_h512 = spectral.stft_mag(y, 2048, 512)  # rolloff keeps librosa's default hop
+    nyq = sr / 2
+    centroid = spectral_centroid(S2048, sr, 2048)
+    bandwidth = spectral_bandwidth(S2048, sr, 2048)
+    rolloff = spectral_rolloff(S2048_h512, sr, 2048)
+    flatness = spectral_flatness(S2048)
+    contrast = spectral_contrast(S2048, sr, 2048)
+    cm, cs = _mstd(centroid)
+    bm, bs = _mstd(bandwidth)
+    rm, rs = _mstd(rolloff)
+    fm, fs = _mstd(flatness)
+    ctr_flat = contrast.reshape(*contrast.shape[:-2], -1)
+    km, ks = _mstd(ctr_flat)
+    feats += [cm / nyq, cs / nyq, _skew(centroid),
+              bm / nyq, bs / nyq, rm / nyq, rs / nyq, fm, fs, km, ks]
+
+    env = dft.hilbert_envelope(y)
+    em, es = _mstd(env)
+    feats += [em, es, em / (es + 1e-8)]
+    pk_fn = peaks.find_peaks_stats
+    for _ in range(y.ndim - 1):
+        pk_fn = jax.vmap(pk_fn, in_axes=(0, 0, None))
+    n_pk, mean_pk, std_pk = pk_fn(env, em, sr // 10)
+    feats += [n_pk, mean_pk, std_pk]
+
+    if stft512_mag is None:
+        stft512_mag = spectral.stft_mag(y, n_fft, hop_length)
+    low_bins = int(1000 * n_fft / sr)
+    p512 = stft512_mag * stft512_mag
+    low_e = jnp.sum(p512[..., :low_bins, :], axis=(-2, -1))
+    tot_e = jnp.sum(p512, axis=(-2, -1))
+    low_ratio = low_e / (tot_e + 1e-8)
+
+    mel = spectral.melspectrogram(y, sr, n_fft=2048, hop_length=hop_length,
+                                  n_mels=n_mels, fmax=None, power=2.0)
+    mel_db = spectral.power_to_db(mel, ref_max=True)
+    d = mel_db[..., 1:] - mel_db[..., :-1]
+    flux = jnp.sqrt(jnp.sum(d * d, axis=-2))
+    xm, xs = _mstd(flux)
+    feats += [low_ratio, xm, xs, jnp.max(flux, axis=-1)]
+
+    abs_sorted = jnp.sort(jnp.abs(y), axis=-1)
+    feats += [_skew(y), _kurtosis(y),
+              _percentile(abs_sorted, 90), _percentile(abs_sorted, 10)]
+
+    ac = dft.autocorr_full(y)
+    ac = ac / ac[..., :1]
+    first_min = jnp.argmin(ac[..., : sr // 20], axis=-1).astype(y.dtype)
+    feats += [ac[..., sr // 100], ac[..., sr // 50], first_min / sr]
+
+    return jnp.stack(feats, axis=-1)

@@ -1,0 +1,130 @@
+"""Batched STFT / mel spectrogram ops (JAX, matmul-DFT based).
+
+TPU-native replacement for the librosa spectral stack the reference uses
+(reference src/precompute/process.py:32-41,51,59-62). Everything is batched
+over clips and static-shaped; filterbank/DFT matrices are trace-time
+constants shared with the NumPy oracle so the two paths can only diverge in
+the compute graph, which is what the parity tests pin down.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpu_breath.baseline import dsp_np as _oracle
+from tpu_breath.ops import dft
+
+MM_PRECISION = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=MM_PRECISION)
+
+
+@functools.lru_cache(maxsize=None)
+def _hann(n: int, periodic: bool = True) -> np.ndarray:
+    return _oracle.hann(n, periodic).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_matrix(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
+               fmax: float | None = None) -> np.ndarray:
+    """[n_mels, n_fft//2+1] Slaney-normalized mel filterbank (trace-time const)."""
+    return _oracle.mel_filterbank(sr, n_fft, n_mels, fmin, fmax).astype(np.float32)
+
+
+def frame_signal(y: jax.Array, frame_length: int, hop_length: int,
+                 n_frames: int) -> jax.Array:
+    """y[..., n] -> [..., n_frames, frame_length] (time-major for matmul)."""
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(frame_length)[None, :])
+    return y[..., idx]
+
+
+def stft_ri(y: jax.Array, n_fft: int, hop_length: int,
+            window: str = "hann") -> tuple[jax.Array, jax.Array]:
+    """librosa.stft semantics (center=True, zero pad, periodic hann).
+    y[..., n] -> (re, im) each [..., 1 + n//hop, n_fft//2 + 1], time-major."""
+    n = y.shape[-1]
+    n_frames = 1 + n // hop_length
+    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    ypad = jnp.pad(y, pad)
+    frames = frame_signal(ypad, n_fft, hop_length, n_frames)
+    if window == "hann":
+        frames = frames * jnp.asarray(_hann(n_fft))
+    return dft.rdft(frames, n_fft)
+
+
+def stft_mag(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """|STFT|, layout [..., F, T] to mirror librosa."""
+    re, im = stft_ri(y, n_fft, hop_length)
+    return jnp.sqrt(re * re + im * im).swapaxes(-1, -2)
+
+
+def stft_power(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    re, im = stft_ri(y, n_fft, hop_length)
+    return (re * re + im * im).swapaxes(-1, -2)
+
+
+def melspectrogram(y: jax.Array, sr: int, n_fft: int, hop_length: int,
+                   n_mels: int, fmin: float = 0.0, fmax: float | None = None,
+                   power: float = 2.0) -> jax.Array:
+    """[..., n_mels, T]. power=2 path avoids the sqrt entirely."""
+    re, im = stft_ri(y, n_fft, hop_length)
+    p = re * re + im * im  # [..., T, F]
+    if power == 1.0:
+        p = jnp.sqrt(p)
+    fb = jnp.asarray(mel_matrix(sr, n_fft, n_mels, fmin, fmax))
+    return _mm(p, fb.T).swapaxes(-1, -2)
+
+
+def power_to_db(S: jax.Array, ref_max: bool = False, amin: float = 1e-10,
+                top_db: float | None = 80.0,
+                reduce_axes: tuple[int, ...] = (-2, -1)) -> jax.Array:
+    """librosa.power_to_db. ref_max=True uses the per-clip max over
+    reduce_axes as the reference (ref=np.max in the reference pipeline,
+    src/precompute/process.py:33)."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
+    if ref_max:
+        ref_db = 10.0 * jnp.log10(jnp.maximum(
+            amin, jnp.max(S, axis=reduce_axes, keepdims=True)))
+        log_spec = log_spec - ref_db
+    if top_db is not None:
+        log_spec = jnp.maximum(
+            log_spec, jnp.max(log_spec, axis=reduce_axes, keepdims=True) - top_db)
+    return log_spec
+
+
+def znorm(x: jax.Array, axes: tuple[int, ...] = (-2, -1),
+          eps: float = 1e-8) -> jax.Array:
+    """Global (or per-row) z-score with the reference's epsilon placement:
+    (x - mean) / (std + 1e-8) (src/precompute/process.py:36)."""
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=axes, keepdims=True)
+    return (x - mean) / (jnp.sqrt(var) + eps)
+
+
+def pad_time_min(x: jax.Array, t_fixed: int) -> jax.Array:
+    """Pad/truncate the time axis (last) filling with the per-clip min
+    (reference src/precompute/methods.py:30-37)."""
+    t = x.shape[-1]
+    if t >= t_fixed:
+        return x[..., :t_fixed]
+    minv = jnp.min(x, axis=(-2, -1), keepdims=True)
+    pad_block = jnp.broadcast_to(minv, x.shape[:-1] + (t_fixed - t,))
+    return jnp.concatenate([x, pad_block], axis=-1)
+
+
+def pad_freq_min(x: jax.Array, to_bins: int) -> jax.Array:
+    """Pad/truncate the freq axis (second-to-last) filling with the per-clip
+    min (reference src/precompute/methods.py:39-46)."""
+    f = x.shape[-2]
+    if f >= to_bins:
+        return x[..., :to_bins, :]
+    minv = jnp.min(x, axis=(-2, -1), keepdims=True)
+    pad_block = jnp.broadcast_to(minv, x.shape[:-2] + (to_bins - f, x.shape[-1]))
+    return jnp.concatenate([x, pad_block], axis=-2)
