@@ -84,18 +84,22 @@ def _prepare_splits(paths: Paths, spec: FeatureSpec):
 
 
 def _train_one(arch: str, cfg: TrainCfg, tr, va, y_tr, y_va, paths: Paths,
-               mesh=None, resume: bool = False):
+               mesh=None, resume: bool = False, fused_wavs=None):
     from tpu_breath.models import registry
     from tpu_breath.train import loop
-    from tpu_breath.utils.display import count_parameters
 
-    model = registry.build(arch, num_scalar_features=tr.scalars.shape[1])
+    model = registry.build(arch, num_scalar_features=va.scalars.shape[1])
+    mode = "fused wav->train" if fused_wavs is not None else "cached features"
     display.print_start(f"training {arch} ({cfg.num_epochs} epochs, "
-                        f"lr {cfg.base_lr}, batch {cfg.batch_size})")
+                        f"lr {cfg.base_lr}, batch {cfg.batch_size}, {mode})")
     save_dir = os.path.join(paths.ckpt_dir, arch)
-    result = loop.fit(model, (tr.features, tr.scalars), (va.features, va.scalars),
+    if fused_wavs is not None:
+        train_store, fused_spec = (fused_wavs, None), DEFAULT_FEATURES
+    else:
+        train_store, fused_spec = (tr.features, tr.scalars), None
+    result = loop.fit(model, train_store, (va.features, va.scalars),
                       y_tr, y_va, cfg, save_dir=save_dir, mesh=mesh,
-                      resume=resume)
+                      resume=resume, fused_spec=fused_spec)
     display.print_success(f"{arch} best val acc {result.best_val_acc:.4f} "
                           f"@ {result.best_ckpt_path}")
     # persist history for observability
@@ -110,6 +114,12 @@ def cmd_train(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
     spec = DEFAULT_FEATURES
     tr, va, te, y_tr, y_va = _prepare_splits(paths, spec)
+    fused_wavs = None
+    if getattr(args, "fused", False):
+        display.print_info("fused mode: training directly from waveforms")
+        wav_paths = [os.path.join(paths.train_audio_dir, ds.train_wav_name(i))
+                     for i in tr.ids]
+        fused_wavs = wav_io.load_wav_batch(wav_paths, spec.expected_len)
     archs = args.archs.split(",")
     cfgs = {"cnn8": CNN8_TRAIN, "vgg": VGG_TRAIN}
     results = {}
@@ -118,7 +128,7 @@ def cmd_train(args) -> None:
         if args.epochs:
             cfg = type(cfg)(**{**cfg.__dict__, "num_epochs": args.epochs})
         results[arch] = _train_one(arch, cfg, tr, va, y_tr, y_va, paths,
-                                   resume=args.resume)
+                                   resume=args.resume, fused_wavs=fused_wavs)
     if args.predict:
         _predict(results, te, paths)
 
@@ -191,6 +201,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="override epoch count (smoke runs)")
         sp.add_argument("--predict", action="store_true")
         sp.add_argument("--resume", action="store_true")
+        sp.add_argument("--fused", action="store_true",
+                        help="train directly from waveforms: the feature "
+                             "graph runs inside the jitted train step")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("predict")

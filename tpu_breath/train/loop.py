@@ -79,12 +79,34 @@ def create_state(model, rng, cfg: TrainCfg, steps_per_epoch: int,
     return state, tx, schedule
 
 
-def make_train_step(model, tx, cfg: TrainCfg, mesh=None):
+def make_train_step(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
+                    fused_chunk: int = 128):
     """Returns jitted step(state, data, idx, key, use_aug) -> (state, stats).
-    `data` is the full on-device dataset tuple; `idx` the batch indices."""
+    `data` is the full on-device dataset tuple; `idx` the batch indices.
+
+    fused_spec: when a FeatureSpec is given, the step consumes raw waveforms
+    instead of precomputed features — wav[idx] -> feature graph -> augment ->
+    forward/backward runs as ONE jitted graph with no host npz round-trip
+    (BASELINE.json config #5). The feature sub-graph is lax.map'ed over
+    fused_chunk-sized slices to bound the CQT frame expansion's working set.
+    """
 
     def step_fn(state: TrainState, feats, scals, labels, idx, key, use_aug):
-        batch = Batch(feats[idx], scals[idx], labels[idx])
+        if fused_spec is not None:
+            from tpu_breath.features import extract_features
+            wav_batch = feats[idx]  # feats carries raw wavs in fused mode
+            b = wav_batch.shape[0]
+            if b > fused_chunk and b % fused_chunk == 0:
+                chunks = wav_batch.reshape(b // fused_chunk, fused_chunk, -1)
+                f, s = jax.lax.map(
+                    lambda w: extract_features(w, fused_spec), chunks)
+                bf, bs = (f.reshape(b, *f.shape[2:]),
+                          s.reshape(b, *s.shape[2:]))
+            else:
+                bf, bs = extract_features(wav_batch, fused_spec)
+            batch = Batch(bf, bs, labels[idx])
+        else:
+            batch = Batch(feats[idx], scals[idx], labels[idx])
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
         original_labels = batch.labels
@@ -153,10 +175,12 @@ def evaluate(eval_step, state, feats, scals, labels_np: np.ndarray,
 
 def fit(model, train_store, val_store, train_labels, val_labels,
         cfg: TrainCfg, save_dir: str | None = None, mesh=None,
-        log_fn=print, resume: bool = False) -> FitResult:
+        log_fn=print, resume: bool = False, fused_spec=None) -> FitResult:
     """Full training run with early stopping and best-checkpoint persistence.
 
     train_store/val_store: (features [N,C,H,W], scalars [N,S]) numpy arrays.
+    fused mode (fused_spec set): train_store is (wavs [N,16000], None) and the
+    feature graph runs inside the train step; val_store stays precomputed.
     """
     from tpu_breath.train import checkpoint as ckpt_lib
 
@@ -167,16 +191,23 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         raise ValueError("batch_size larger than the training split")
 
     feats_tr = jnp.asarray(train_store[0])
-    scals_tr = jnp.asarray(train_store[1])
     labels_tr = jnp.asarray(train_labels)
     feats_va = jnp.asarray(val_store[0])
     scals_va = jnp.asarray(val_store[1])
 
-    sample = Batch(feats_tr[:2], scals_tr[:2], labels_tr[:2])
+    if fused_spec is not None:
+        from tpu_breath.features import extract_features
+        scals_tr = jnp.zeros((n_train, 0), jnp.float32)  # unused in fused mode
+        sf, ss = jax.jit(lambda w: extract_features(w, fused_spec)
+                         )(feats_tr[:2])
+        sample = Batch(sf, ss, labels_tr[:2])
+    else:
+        scals_tr = jnp.asarray(train_store[1])
+        sample = Batch(feats_tr[:2], scals_tr[:2], labels_tr[:2])
     rng, init_rng = jax.random.split(rng)
     state, tx, schedule = create_state(model, init_rng, cfg, steps_per_epoch,
                                        sample)
-    train_step = make_train_step(model, tx, cfg, mesh)
+    train_step = make_train_step(model, tx, cfg, mesh, fused_spec=fused_spec)
     eval_step = make_eval_step(model, mesh)
 
     start_epoch = 0
