@@ -4,6 +4,12 @@ against the CPU (NumPy/SciPy, librosa-equivalent) per-clip pipeline — the
 north-star metric of BASELINE.json (the reference publishes no wall-clock
 numbers; its librosa stack runs ~1 clip/s/core, measured fresh here).
 
+Measurement notes for this backend (axon relay to one v5e chip):
+- block_until_ready() is a no-op through the relay, so completion is forced
+  by materializing a checksum scalar on host.
+- One device roundtrip costs ~35 ms, so all chunks run inside a single jitted
+  lax.map and the whole 2048-clip sweep pays that latency once.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
@@ -42,21 +48,29 @@ def main() -> None:
         feature_np.process_clip(wavs[i], DEFAULT_FEATURES)
     cpu_rate = BASELINE_CLIPS / (time.perf_counter() - t0)
 
-    # --- device path: one jitted graph, chunked batches.
+    # --- device path: all chunks inside one jitted graph; a checksum scalar
+    # forces completion of every output.
+    import jax
     import jax.numpy as jnp
-    from tpu_breath.features import _extract_jit
+    from jax import lax
+    from tpu_breath.features import extract_features
 
-    def run_all() -> None:
-        out = None
-        for lo in range(0, N_CLIPS, CHUNK):
-            out = _extract_jit(jnp.asarray(wavs[lo:lo + CHUNK]),
-                               DEFAULT_FEATURES)
-        out[0].block_until_ready()
+    @jax.jit
+    def sweep(w):
+        chunks = w.reshape(N_CLIPS // CHUNK, CHUNK, -1)
 
-    run_all()  # compile + warmup
+        def one(c):
+            f, s = extract_features(c, DEFAULT_FEATURES)
+            return jnp.sum(f) + jnp.sum(s)
+
+        return jnp.sum(lax.map(one, chunks))
+
+    x = jnp.asarray(wavs)
+    float(sweep(x))  # compile + warmup
     t0 = time.perf_counter()
-    run_all()
+    checksum = float(sweep(x))
     tpu_rate = N_CLIPS / (time.perf_counter() - t0)
+    assert np.isfinite(checksum)
 
     print(json.dumps({
         "metric": "feature extraction throughput (9-ch spectrogram stack + 36 scalars per 1s wav clip)",

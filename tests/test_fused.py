@@ -1,0 +1,41 @@
+"""Fused wav->train mode: the feature graph runs inside the jitted train step
+(BASELINE.json config #5) and must match the cached-features step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_breath.config import FeatureSpec, TrainCfg
+from tpu_breath.models.cnn8 import CNN8
+from tpu_breath.augment import Batch
+from tpu_breath.features import extract_features
+from tpu_breath.train.loop import create_state, make_train_step
+
+SPEC = FeatureSpec()
+
+
+def test_fused_step_matches_cached_features(real_clips):
+    b = 4
+    wavs = jnp.asarray(real_clips[:b])
+    labels = jnp.asarray(np.array([0, 1, 0, 1], np.float32))
+    cfg = TrainCfg(num_epochs=1, batch_size=b, warmup_epochs=99)  # aug off
+    model = CNN8(num_scalar_features=SPEC.n_scalars, dropout_rate=0.0,
+                 dtype=jnp.float32)
+
+    feats, scals = jax.jit(lambda w: extract_features(w, SPEC))(wavs)
+    sample = Batch(feats[:2], scals[:2], labels[:2])
+    idx = jnp.arange(b)
+    key = jax.random.PRNGKey(0)
+
+    state_c, tx, _ = create_state(model, jax.random.PRNGKey(1), cfg, 1, sample)
+    step_cached = make_train_step(model, tx, cfg)
+    _, stats_c = step_cached(state_c, feats, scals, labels, idx, key,
+                             jnp.asarray(False))
+
+    state_f, tx2, _ = create_state(model, jax.random.PRNGKey(1), cfg, 1, sample)
+    step_fused = make_train_step(model, tx2, cfg, fused_spec=SPEC)
+    dummy_scals = jnp.zeros((b, 0), jnp.float32)
+    _, stats_f = step_fused(state_f, wavs, dummy_scals, labels, idx, key,
+                            jnp.asarray(False))
+
+    assert abs(float(stats_c["loss"]) - float(stats_f["loss"])) < 1e-5
+    assert float(stats_c["acc"]) == float(stats_f["acc"])

@@ -90,14 +90,26 @@ def extract_features(y: jax.Array,
     mod = cepstral.mod_spec(mel_db, n_keep=40)
     mod_c = _pads(_zn(mod), spec)
 
+    # --- shared 2048-point spectrograms: the onset-strength mel and the
+    # scalar descriptors' mel/|STFT| are the same transforms — compute once
+    re2, im2 = spectral.stft_ri(y, 2048, hop)  # [..., T, F] time-major
+    p2048 = re2 * re2 + im2 * im2
+    stft2048_mag = jnp.sqrt(p2048).swapaxes(-1, -2)
+    fb2048 = jnp.asarray(spectral.mel_matrix(sr, 2048, spec.n_mels))
+    mel2048_power = jnp.matmul(p2048, fb2048.T,
+                               precision=spectral.MM_PRECISION
+                               ).swapaxes(-1, -2)
+
     # --- tempogram (process.py:74-78): [384, 63], z-normed, truncated to 128
-    onset = rhythm.onset_strength(y, sr, hop)
+    onset = rhythm.onset_strength(y, sr, hop, mel_power=mel2048_power)
     tempo = rhythm.tempogram(onset, spec.tempogram_win_length)
     tempo_c = _pads(_zn(tempo), spec)
 
-    # --- scalars (methods.py:48-114), reusing the 512-point |STFT|
+    # --- scalars (methods.py:48-114), reusing the shared spectrograms
     scalars = scalar_ops.extract_scalars(y, sr, hop, n_fft, spec.n_mels,
-                                         stft512_mag=stft512)
+                                         stft512_mag=stft512,
+                                         stft2048_mag=stft2048_mag,
+                                         mel2048_power=mel2048_power)
 
     # alphabetical stacking (reference src/dataset.py:24-26)
     by_name = {

@@ -23,11 +23,16 @@ MM_PRECISION = lax.Precision.HIGHEST
 
 
 def onset_strength(y: jax.Array, sr: int, hop_length: int,
-                   n_fft: int = 2048, lag: int = 1) -> jax.Array:
+                   n_fft: int = 2048, lag: int = 1,
+                   mel_power: jax.Array | None = None) -> jax.Array:
     """y[..., n] -> onset envelope [..., T]: dB-mel spectral flux, rectified,
-    mean over bands, center compensation (prepends n_fft//(2*hop)+lag zeros)."""
-    S = spectral.melspectrogram(y, sr, n_fft=n_fft, hop_length=hop_length,
-                                n_mels=128, fmax=0.5 * sr, power=2.0)
+    mean over bands, center compensation (prepends n_fft//(2*hop)+lag zeros).
+    mel_power: optionally reuse a precomputed [..., 128, T] power mel
+    spectrogram (n_fft=2048, fmax=sr/2) shared with the scalar descriptors."""
+    S = mel_power
+    if S is None:
+        S = spectral.melspectrogram(y, sr, n_fft=n_fft, hop_length=hop_length,
+                                    n_mels=128, fmax=0.5 * sr, power=2.0)
     S = spectral.power_to_db(S, ref_max=False)
     diff = jnp.maximum(0.0, S[..., lag:] - S[..., :-lag])
     env = jnp.mean(diff, axis=-2)

@@ -174,10 +174,13 @@ def _mstd(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
                     n_fft: int = 512, n_mels: int = 128,
-                    stft512_mag: jax.Array | None = None) -> jax.Array:
+                    stft512_mag: jax.Array | None = None,
+                    stft2048_mag: jax.Array | None = None,
+                    mel2048_power: jax.Array | None = None) -> jax.Array:
     """y[..., 16000] -> [..., 36]. Layout mirrors reference
-    src/precompute/methods.py:48-114 exactly. stft512_mag may be passed to
-    reuse the |STFT| the feature graph already computed."""
+    src/precompute/methods.py:48-114 exactly. The stft/mel keyword arguments
+    let the feature graph share spectrograms it already computed (the 2048-pt
+    mel here is identical to onset_strength's)."""
     feats = []
 
     rms_v = rms_frames(y, 2048, hop_length)
@@ -186,7 +189,9 @@ def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
         m, s = _mstd(v)
         feats += [m, s, jnp.max(v, axis=-1), jnp.min(v, axis=-1)]
 
-    S2048 = spectral.stft_mag(y, 2048, hop_length)
+    S2048 = stft2048_mag
+    if S2048 is None:
+        S2048 = spectral.stft_mag(y, 2048, hop_length)
     S2048_h512 = spectral.stft_mag(y, 2048, 512)  # rolloff keeps librosa's default hop
     nyq = sr / 2
     centroid = spectral_centroid(S2048, sr, 2048)
@@ -220,8 +225,10 @@ def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
     tot_e = jnp.sum(p512, axis=(-2, -1))
     low_ratio = low_e / (tot_e + 1e-8)
 
-    mel = spectral.melspectrogram(y, sr, n_fft=2048, hop_length=hop_length,
-                                  n_mels=n_mels, fmax=None, power=2.0)
+    mel = mel2048_power
+    if mel is None:
+        mel = spectral.melspectrogram(y, sr, n_fft=2048, hop_length=hop_length,
+                                      n_mels=n_mels, fmax=None, power=2.0)
     mel_db = spectral.power_to_db(mel, ref_max=True)
     d = mel_db[..., 1:] - mel_db[..., :-1]
     flux = jnp.sqrt(jnp.sum(d * d, axis=-2))
