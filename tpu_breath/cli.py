@@ -114,6 +114,15 @@ def cmd_train(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
     spec = DEFAULT_FEATURES
     tr, va, te, y_tr, y_va = _prepare_splits(paths, spec)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+        try:
+            jax.profiler.start_trace(profile_dir)
+            display.print_info(f"profiler trace -> {profile_dir}")
+        except Exception as e:  # experimental backend may not support tracing
+            display.print_warning(f"profiler unavailable: {e}")
+            profile_dir = None
     fused_wavs = None
     if getattr(args, "fused", False):
         display.print_info("fused mode: training directly from waveforms")
@@ -129,6 +138,19 @@ def cmd_train(args) -> None:
             cfg = type(cfg)(**{**cfg.__dict__, "num_epochs": args.epochs})
         results[arch] = _train_one(arch, cfg, tr, va, y_tr, y_va, paths,
                                    resume=args.resume, fused_wavs=fused_wavs)
+    if profile_dir:
+        import jax
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            display.print_warning(f"profiler stop failed: {e}")
+        if not os.path.isdir(profile_dir) or not os.listdir(profile_dir):
+            # the experimental axon relay backend produces no device trace
+            display.print_warning(
+                "profiler produced no trace on this backend; per-epoch wall "
+                "times are in checkpoints/<arch>/history.jsonl")
+        else:
+            display.print_success(f"profiler trace written to {profile_dir}")
     if args.predict:
         _predict(results, te, paths)
 
@@ -204,6 +226,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--fused", action="store_true",
                         help="train directly from waveforms: the feature "
                              "graph runs inside the jitted train step")
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("predict")
