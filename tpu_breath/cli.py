@@ -12,7 +12,7 @@ import json
 import os
 import time
 
-import numpy as np
+
 
 from tpu_breath.config import (FeatureSpec, Paths, TrainCfg, CNN8_TRAIN,
                                VGG_TRAIN, DEFAULT_FEATURES)
@@ -134,8 +134,13 @@ def cmd_train(args) -> None:
     results = {}
     for arch in archs:
         cfg = cfgs.get(arch, TrainCfg())
+        overrides = {}
         if args.epochs:
-            cfg = type(cfg)(**{**cfg.__dict__, "num_epochs": args.epochs})
+            overrides["num_epochs"] = args.epochs
+        if getattr(args, "seed", None) is not None:
+            overrides["seed"] = args.seed
+        if overrides:
+            cfg = type(cfg)(**{**cfg.__dict__, **overrides})
         results[arch] = _train_one(arch, cfg, tr, va, y_tr, y_va, paths,
                                    resume=args.resume, fused_wavs=fused_wavs)
     if profile_dir:
@@ -228,6 +233,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "graph runs inside the jitted train step")
         sp.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the run to DIR")
+        sp.add_argument("--seed", type=int, default=None,
+                        help="PRNG seed override (init/augment/shuffle)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("predict")

@@ -17,7 +17,7 @@ Key design differences from the reference (all deliberate, all TPU-native):
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 import os
 import time
 from typing import Any, Callable
