@@ -25,6 +25,7 @@ from typing import Any, Callable
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 import optax
 import flax
 from flax.core import FrozenDict
@@ -90,6 +91,41 @@ def make_train_step(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
     (BASELINE.json config #5). The feature sub-graph is lax.map'ed over
     fused_chunk-sized slices to bound the CQT frame expansion's working set.
     """
+    return jax.jit(_make_step_core(model, tx, cfg, mesh, fused_spec,
+                                   fused_chunk), donate_argnums=(0,))
+
+
+def make_epoch_runner(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
+                      fused_chunk: int = 128):
+    """One jitted lax.scan over ALL of an epoch's steps.
+
+    On this backend a host->device dispatch + sync costs ~35 ms, so a
+    per-step python loop is latency-bound (200 ms/step for ~1 ms of compute).
+    Scanning the epoch on device makes an epoch a single dispatch:
+    runner(state, feats, scals, labels, idx[S, B], keys[S], use_aug)
+    -> (state, {loss[S], acc[S]}). Semantics are identical to S calls of the
+    single step (same per-step PRNG keys, same LR schedule stepping).
+
+    Not the default: fit() instead dispatches steps asynchronously and syncs
+    once per epoch, which gets the same latency win without this graph —
+    XLA:CPU compile of a scanned full-size conv training step is pathological
+    (>10 min vs 15 s unscanned), so the scan variant is only sensible for
+    TPU deployments with long runs amortizing the compile."""
+    core = _make_step_core(model, tx, cfg, mesh, fused_spec, fused_chunk)
+
+    def epoch_fn(state, feats, scals, labels, idx_mat, keys, use_aug):
+        def body(st, x):
+            idx, key = x
+            st, stats = core(st, feats, scals, labels, idx, key, use_aug)
+            return st, stats
+
+        return lax.scan(body, state, (idx_mat, keys))
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
+def _make_step_core(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
+                    fused_chunk: int = 128):
 
     def step_fn(state: TrainState, feats, scals, labels, idx, key, use_aug):
         if fused_spec is not None:
@@ -134,7 +170,7 @@ def make_train_step(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
         acc = jnp.mean(preds == original_labels)
         return new_state, {"loss": loss, "acc": acc}
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
 
 
 def make_eval_step(model, mesh=None):
@@ -225,16 +261,20 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         t0 = time.time()
         use_aug = jnp.asarray(epoch >= cfg.warmup_epochs)
         perm = perm_rng.permutation(n_train)
-        ep_loss, ep_acc = 0.0, 0.0
+        rng, ekey = jax.random.split(rng)
+        keys = jax.random.split(ekey, steps_per_epoch)
+        # Dispatch every step asynchronously and fetch the whole epoch's stats
+        # with ONE host sync at the end: a device roundtrip costs ~35 ms on
+        # this backend, so syncing per step would be latency-bound.
+        pending = []
         for s in range(steps_per_epoch):
             idx = jnp.asarray(perm[s * cfg.batch_size:(s + 1) * cfg.batch_size])
-            rng, key = jax.random.split(rng)
             state, stats = train_step(state, feats_tr, scals_tr, labels_tr,
-                                      idx, key, use_aug)
-            ep_loss += float(stats["loss"])
-            ep_acc += float(stats["acc"])
-        train_loss = ep_loss / steps_per_epoch
-        train_acc = ep_acc / steps_per_epoch
+                                      idx, keys[s], use_aug)
+            pending.append(stats)
+        stats = jax.device_get(pending)
+        train_loss = float(np.mean([st["loss"] for st in stats]))
+        train_acc = float(np.mean([st["acc"] for st in stats]))
 
         val = evaluate(eval_step, state, feats_va, scals_va, val_labels,
                        cfg.eval_batch_size,
