@@ -23,7 +23,7 @@ import numpy as np
 
 N_CLIPS = 2048
 CHUNK = 128
-BASELINE_CLIPS = 4
+BASELINE_CLIPS = 8
 
 
 def _load_clips(n: int) -> np.ndarray:

@@ -82,8 +82,12 @@ def estimate_tuning(S: jax.Array, sr: float, n_fft: int,
     n_bins = int(np.ceil(1.0 / resolution))
     bin_idx = jnp.clip(jnp.floor((residual + 0.5) * n_bins), 0, n_bins - 1
                        ).astype(jnp.int32)
-    counts = jnp.zeros(n_bins, jnp.int32).at[bin_idx.ravel()].add(
-        sel.ravel().astype(jnp.int32))
+    # histogram as a compare-and-reduce (scatter-add is slow on TPU)
+    flat_idx = bin_idx.ravel()
+    flat_sel = sel.ravel()
+    counts = jnp.sum(
+        (flat_idx[None, :] == jnp.arange(n_bins, dtype=jnp.int32)[:, None])
+        & flat_sel[None, :], axis=1, dtype=jnp.int32)
     best = jnp.argmax(counts)
     tuning = -0.5 + best.astype(jnp.float32) * resolution
     return jnp.where(jnp.sum(sel) > 0, tuning, 0.0)
