@@ -136,12 +136,16 @@ def extract_features_batched(wavs: np.ndarray,
     feats_out = np.empty((n, spec.n_channels, spec.n_mels, spec.t_fixed),
                          np.float32)
     scal_out = np.empty((n, spec.n_scalars), np.float32)
+    # dispatch every chunk asynchronously; materialize on host at the end
+    # (each host sync through the relay costs ~35 ms)
+    pending = []
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         x = wavs[lo:hi]
         if hi - lo < chunk:  # keep a single compiled shape
             x = np.pad(x, ((0, chunk - (hi - lo)), (0, 0)))
-        f, s = _extract_jit(jnp.asarray(x), spec)
+        pending.append((lo, hi, _extract_jit(jnp.asarray(x), spec)))
+    for lo, hi, (f, s) in pending:
         feats_out[lo:hi] = np.asarray(f)[: hi - lo]
         scal_out[lo:hi] = np.asarray(s)[: hi - lo]
     return feats_out, scal_out
