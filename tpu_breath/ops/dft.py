@@ -44,7 +44,11 @@ def _rdft_consts(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def rdft(x: jax.Array, n: int | None = None) -> tuple[jax.Array, jax.Array]:
-    """rfft along the last axis via matmul. Returns (re, im), each [..., n//2+1]."""
+    """rfft along the last axis via matmul. Returns (re, im), each [..., n//2+1].
+
+    Large power-of-two sizes go through the two-stage Cooley-Tukey path
+    (~3.5x fewer FLOPs than the direct [n, n//2+1] product); small sizes stay
+    a single dense matmul, which the MXU prefers."""
     if n is None:
         n = x.shape[-1]
     if x.shape[-1] < n:
@@ -52,6 +56,9 @@ def rdft(x: jax.Array, n: int | None = None) -> tuple[jax.Array, jax.Array]:
         x = jnp.pad(x, pad)
     elif x.shape[-1] > n:
         x = x[..., :n]
+    if n >= 1024 and n % 128 == 0:
+        re, im = cfft_ct(x, jnp.zeros_like(x), n // 128, 128)
+        return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
     C, S = _rdft_consts(n)
     return _mm(x, jnp.asarray(C)), _mm(x, -jnp.asarray(S))
 
