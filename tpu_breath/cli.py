@@ -40,8 +40,13 @@ def _build_feature_store(paths: Paths, spec: FeatureSpec,
 
     display.print_start(f"decoding {len(wav_paths)} wavs")
     t0 = time.time()
-    wavs = wav_io.load_wav_batch(wav_paths, spec.expected_len)
-    display.print_info(f"decoded in {time.time() - t0:.1f}s")
+    errors: list = []
+    wavs = wav_io.load_wav_batch(wav_paths, spec.expected_len, errors=errors)
+    for path, msg in errors:
+        display.print_error(f"{path}: {msg}")
+    display.print_info(
+        f"decoded in {time.time() - t0:.1f}s "
+        f"({len(wav_paths) - len(errors)} ok, {len(errors)} failed)")
 
     display.print_start("extracting features on device")
     t0 = time.time()
@@ -71,9 +76,16 @@ def cmd_precompute(args) -> None:
                          chunk=args.chunk)
 
 
-def _prepare_splits(paths: Paths, spec: FeatureSpec):
-    store = _load_or_build_store(paths, spec)
+def _prepare_splits(paths: Paths, spec: FeatureSpec, npz_dir: str | None = None):
     train_df, test_df = ds.load_frames(paths)
+    if npz_dir:
+        # interop: consume a reference-produced per-clip .npz directory
+        # (schema auto-discovery, src/dataset.py:17-31 semantics)
+        display.print_info(f"loading reference-schema npz from {npz_dir}")
+        all_ids = list(train_df["ID"]) + list(test_df["ID"])
+        store = ds.FeatureStore.load_npz(npz_dir, all_ids, spec)
+    else:
+        store = _load_or_build_store(paths, spec)
     tr_df, va_df = ds.split_train_val(train_df)
     tr = store.subset(list(tr_df["ID"]))
     va = store.subset(list(va_df["ID"]))
@@ -113,7 +125,8 @@ def _train_one(arch: str, cfg: TrainCfg, tr, va, y_tr, y_va, paths: Paths,
 def cmd_train(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
     spec = DEFAULT_FEATURES
-    tr, va, te, y_tr, y_va = _prepare_splits(paths, spec)
+    tr, va, te, y_tr, y_va = _prepare_splits(
+        paths, spec, npz_dir=getattr(args, "from_npz", None))
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         import jax
@@ -235,6 +248,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write a jax.profiler trace of the run to DIR")
         sp.add_argument("--seed", type=int, default=None,
                         help="PRNG seed override (init/augment/shuffle)")
+        sp.add_argument("--from-npz", dest="from_npz", default=None,
+                        metavar="DIR",
+                        help="consume a reference-produced per-clip .npz "
+                             "feature directory instead of the device "
+                             "feature graph")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("predict")

@@ -55,8 +55,14 @@ def load_wav(path: str, expected_len: int = 16_000) -> np.ndarray:
 
 
 def load_wav_batch(paths: list[str], expected_len: int = 16_000,
-                   n_threads: int = 0) -> np.ndarray:
-    """[N, expected_len] float32. Uses the native threaded decoder if built."""
+                   n_threads: int = 0,
+                   errors: list | None = None) -> np.ndarray:
+    """[N, expected_len] float32. Uses the native threaded decoder if built.
+
+    Per-file failure accounting mirrors the reference's precompute tally
+    (src/precompute/process.py:107-108, core.py:36-45): a failed clip decodes
+    to zeros and, when `errors` is given, (path, message) is appended to it
+    instead of raising."""
     lib = _native_lib()
     out = np.zeros((len(paths), expected_len), dtype=np.float32)
     if lib is not None:
@@ -68,7 +74,14 @@ def load_wav_batch(paths: list[str], expected_len: int = 16_000,
             expected_len, n_threads)
         if rc == 0:
             return out
-        # fall through to python on partial failure
+        # some files failed: fall through to the python pass to identify them
     for i, p in enumerate(paths):
-        out[i] = load_wav(p, expected_len)
+        try:
+            out[i] = load_wav(p, expected_len)
+        except Exception as e:
+            out[i] = 0.0
+            if errors is not None:
+                errors.append((p, str(e)))
+            else:
+                raise
     return out
