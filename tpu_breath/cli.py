@@ -193,7 +193,8 @@ def cmd_predict(args) -> None:
 
     paths = Paths(root=args.root, out_root=args.out_root)
     spec = DEFAULT_FEATURES
-    _, _, te, _, _ = _prepare_splits(paths, spec)
+    _, _, te, _, _ = _prepare_splits(
+        paths, spec, npz_dir=getattr(args, "from_npz", None))
     archs = args.archs.split(",")
     ckpts, scores = [], []
     for arch in archs:
@@ -258,6 +259,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("predict")
     common(sp)
     sp.add_argument("--archs", default="cnn8,vgg")
+    sp.add_argument("--from-npz", dest="from_npz", default=None, metavar="DIR")
     sp.set_defaults(fn=cmd_predict)
     return p
 
