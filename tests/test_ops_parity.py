@@ -251,6 +251,56 @@ def test_find_peaks_stats(real_clips):
         assert abs(float(std_pk) - ref_std) < 1e-4
 
 
+def test_find_peaks_plateaus(rng):
+    """Adversarial plateau/quantization fixtures vs scipy (VERDICT r1 #8).
+
+    scipy treats an equal-value run as ONE peak at its floor-midpoint iff
+    both run-adjacent samples are strictly lower (_local_maxima_1d); the
+    strictly-greater-than-immediate-neighbours rule misses every plateau.
+    """
+    cases = []
+    # hand-built plateaus: width 2/3/4, at edges, staircases, all-flat
+    cases.append(np.array([0, 1, 1, 0, 2, 2, 2, 0, 3, 3, 3, 3, 0], np.float32))
+    cases.append(np.array([5, 5, 0, 1, 0, 5, 5], np.float32))  # edge plateaus
+    cases.append(np.array([0, 1, 1, 2, 2, 1, 1, 0], np.float32))  # staircase
+    cases.append(np.zeros(32, np.float32))  # flat: no peaks
+    cases.append(np.array([0, 1, 2, 3, 3, 2, 1, 0, 1, 2, 3, 3, 3, 2], np.float32))
+    # int16-quantized noisy envelopes: plateaus arise from quantization
+    for scale in (8, 32, 128):
+        env = np.abs(scipy.signal.hilbert(rng.standard_normal(4000)))
+        q = np.round(env * scale).astype(np.int16).astype(np.float32)
+        cases.append(q)
+    # quantized slow sinusoid: long flat tops
+    t = np.linspace(0, 4 * np.pi, 2000)
+    cases.append(np.round(4 * (np.sin(t) + 1)).astype(np.float32))
+    for distance in (1, 5, 160):
+        for env in cases:
+            h = float(env.mean())
+            n_pk, mean_pk, std_pk = J(peaks.find_peaks_stats,
+                                      distance=max(distance, 1))(
+                jnp.asarray(env), jnp.float32(h))
+            pk, props = scipy.signal.find_peaks(env, height=h,
+                                                distance=max(distance, 1))
+            ph = props["peak_heights"] if len(pk) else [0]
+            # Tie caveat: scipy's suppression priority among EQUAL-height
+            # peaks is np.argsort quicksort order (arbitrary); ours is
+            # index-ascending. When distance=1 (no suppression) or all
+            # candidate peak heights are distinct, results must be exact;
+            # otherwise tied suppression chains may shift the count by a
+            # hair — bound it at 1%.
+            heights_all = env[scipy.signal.find_peaks(env, height=h)[0]]
+            ties_possible = (distance > 1
+                             and len(np.unique(heights_all)) < len(heights_all))
+            if not ties_possible:
+                assert int(n_pk) == len(pk), (distance, env[:16], int(n_pk), pk)
+                assert abs(float(mean_pk) - np.mean(ph)) < 1e-4
+                ref_std = np.std(ph) if len(pk) > 1 else 0.0
+                assert abs(float(std_pk) - ref_std) < 1e-4
+            else:
+                assert abs(int(n_pk) - len(pk)) <= max(1, len(pk) // 100)
+                assert abs(float(mean_pk) - np.mean(ph)) < 5e-2 * (abs(np.mean(ph)) + 1)
+
+
 def test_scalar_vector_parity(real_clips):
     got = np.asarray(J(scalar_ops.extract_scalars, sr=SR, hop_length=HOP, n_fft=NFFT, n_mels=128)(jnp.asarray(real_clips)))
     for b in range(real_clips.shape[0]):

@@ -96,11 +96,17 @@ def _prepare_splits(paths: Paths, spec: FeatureSpec, npz_dir: str | None = None)
 
 
 def _train_one(arch: str, cfg: TrainCfg, tr, va, y_tr, y_va, paths: Paths,
-               mesh=None, resume: bool = False, fused_wavs=None):
+               mesh=None, resume: bool = False, fused_wavs=None,
+               f32: bool = False):
     from tpu_breath.models import registry
     from tpu_breath.train import loop
 
-    model = registry.build(arch, num_scalar_features=va.scalars.shape[1])
+    kwargs = {}
+    if f32:
+        import jax.numpy as jnp
+        kwargs["dtype"] = jnp.float32
+    model = registry.build(arch, num_scalar_features=va.scalars.shape[1],
+                           **kwargs)
     mode = "fused wav->train" if fused_wavs is not None else "cached features"
     display.print_start(f"training {arch} ({cfg.num_epochs} epochs, "
                         f"lr {cfg.base_lr}, batch {cfg.batch_size}, {mode})")
@@ -122,9 +128,30 @@ def _train_one(arch: str, cfg: TrainCfg, tr, va, y_tr, y_va, paths: Paths,
     return result
 
 
+def _resolve_mesh(mesh_arg: str):
+    """'auto' -> DP mesh over all devices when >1 (multi-host aware via
+    jax.distributed), 'off'/'1' -> single-device resident path, an int N ->
+    mesh over the first N devices."""
+    if mesh_arg == "off":
+        return None
+    from tpu_breath.parallel import mesh as mesh_lib
+    import jax
+    mesh_lib.initialize_distributed()
+    n = jax.device_count() if mesh_arg == "auto" else int(mesh_arg)
+    if n <= 1:
+        return None
+    if n > jax.device_count():
+        raise ValueError(f"--mesh {n} but only {jax.device_count()} devices")
+    mesh = mesh_lib.make_mesh(jax.devices()[:n])
+    display.print_info(f"data-parallel mesh: {n} devices "
+                       f"({jax.process_count()} process(es))")
+    return mesh
+
+
 def cmd_train(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
     spec = DEFAULT_FEATURES
+    mesh = _resolve_mesh(getattr(args, "mesh", "auto"))
     tr, va, te, y_tr, y_va = _prepare_splits(
         paths, spec, npz_dir=getattr(args, "from_npz", None))
     profile_dir = getattr(args, "profile", None)
@@ -152,10 +179,15 @@ def cmd_train(args) -> None:
             overrides["num_epochs"] = args.epochs
         if getattr(args, "seed", None) is not None:
             overrides["seed"] = args.seed
+        if getattr(args, "batch_size", None):
+            overrides["batch_size"] = args.batch_size
+            overrides["eval_batch_size"] = 2 * args.batch_size
         if overrides:
             cfg = type(cfg)(**{**cfg.__dict__, **overrides})
         results[arch] = _train_one(arch, cfg, tr, va, y_tr, y_va, paths,
-                                   resume=args.resume, fused_wavs=fused_wavs)
+                                   mesh=mesh, resume=args.resume,
+                                   fused_wavs=fused_wavs,
+                                   f32=getattr(args, "f32", False))
     if profile_dir:
         import jax
         try:
@@ -249,6 +281,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write a jax.profiler trace of the run to DIR")
         sp.add_argument("--seed", type=int, default=None,
                         help="PRNG seed override (init/augment/shuffle)")
+        sp.add_argument("--batch-size", dest="batch_size", type=int,
+                        default=0, help="override the train batch size "
+                                        "(eval batch follows at 2x)")
+        sp.add_argument("--f32", action="store_true",
+                        help="float32 activations instead of bfloat16 "
+                             "(debugging / bit-level layout comparisons)")
+        sp.add_argument("--mesh", default="auto", metavar="auto|off|N",
+                        help="data-parallel mesh: 'auto' uses all devices "
+                             "when >1 (host-sharded streamed input), 'off' "
+                             "forces the single-device resident path, N "
+                             "uses the first N devices")
         sp.add_argument("--from-npz", dest="from_npz", default=None,
                         metavar="DIR",
                         help="consume a reference-produced per-clip .npz "
@@ -271,7 +314,7 @@ def main(argv=None) -> None:
         # reference behavior: bare run = train+predict; --precompute flag
         ns = argparse.Namespace(root="input", out_root=".", npz=False,
                                 chunk=128, archs="cnn8,vgg", epochs=0,
-                                predict=True, resume=False)
+                                predict=True, resume=False, mesh="auto")
         if args.precompute:
             cmd_precompute(ns)
         else:

@@ -41,6 +41,11 @@ class Prefetcher:
 
     def _put(self, batch):
         if self._sharding is not None:
+            if jax.process_count() > 1:
+                # each process contributes its local rows of the global batch
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self._sharding, x), batch)
             return jax.tree.map(
                 lambda x: jax.device_put(x, self._sharding), batch)
         return jax.tree.map(jax.device_put, batch)

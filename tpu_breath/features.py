@@ -145,7 +145,8 @@ def extract_features_batched(wavs: np.ndarray,
         if hi - lo < chunk:  # keep a single compiled shape
             x = np.pad(x, ((0, chunk - (hi - lo)), (0, 0)))
         pending.append((lo, hi, _extract_jit(jnp.asarray(x), spec)))
-    for lo, hi, (f, s) in pending:
+    from tpu_breath.utils import display
+    for lo, hi, (f, s) in display.progress_bar(pending, "extract"):
         feats_out[lo:hi] = np.asarray(f)[: hi - lo]
         scal_out[lo:hi] = np.asarray(s)[: hi - lo]
     return feats_out, scal_out

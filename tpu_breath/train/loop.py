@@ -124,25 +124,51 @@ def make_epoch_runner(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
     return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
+def make_train_step_batched(model, tx, cfg: TrainCfg, mesh=None,
+                            fused_spec=None, fused_chunk: int = 128):
+    """Step that consumes the batch arrays directly (the streamed-input path:
+    host -> device_put with batch sharding -> step), vs make_train_step's
+    gather-by-index from a resident dataset. Semantics are identical."""
+    return jax.jit(_make_batch_core(model, tx, cfg, mesh, fused_spec,
+                                    fused_chunk), donate_argnums=(0,))
+
+
+def _maybe_fused_features(batch: Batch, fused_spec, fused_chunk: int) -> Batch:
+    """In fused mode batch.features carries raw waveforms; run the feature
+    graph (chunked to bound the CQT frame expansion's working set)."""
+    if fused_spec is None:
+        return batch
+    from tpu_breath.features import extract_features
+    wav_batch = batch.features
+    b = wav_batch.shape[0]
+    if b > fused_chunk and b % fused_chunk == 0:
+        chunks = wav_batch.reshape(b // fused_chunk, fused_chunk, -1)
+        f, s = jax.lax.map(lambda w: extract_features(w, fused_spec), chunks)
+        bf, bs = f.reshape(b, *f.shape[2:]), s.reshape(b, *s.shape[2:])
+    else:
+        bf, bs = extract_features(wav_batch, fused_spec)
+    return Batch(bf, bs, batch.labels)
+
+
 def _make_step_core(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
                     fused_chunk: int = 128):
+    core = _make_batch_core(model, tx, cfg, mesh, fused_spec, fused_chunk)
 
     def step_fn(state: TrainState, feats, scals, labels, idx, key, use_aug):
         if fused_spec is not None:
-            from tpu_breath.features import extract_features
-            wav_batch = feats[idx]  # feats carries raw wavs in fused mode
-            b = wav_batch.shape[0]
-            if b > fused_chunk and b % fused_chunk == 0:
-                chunks = wav_batch.reshape(b // fused_chunk, fused_chunk, -1)
-                f, s = jax.lax.map(
-                    lambda w: extract_features(w, fused_spec), chunks)
-                bf, bs = (f.reshape(b, *f.shape[2:]),
-                          s.reshape(b, *s.shape[2:]))
-            else:
-                bf, bs = extract_features(wav_batch, fused_spec)
-            batch = Batch(bf, bs, labels[idx])
+            batch = Batch(feats[idx], None, labels[idx])
         else:
             batch = Batch(feats[idx], scals[idx], labels[idx])
+        return core(state, batch, key, use_aug)
+
+    return step_fn
+
+
+def _make_batch_core(model, tx, cfg: TrainCfg, mesh=None, fused_spec=None,
+                     fused_chunk: int = 128):
+
+    def step_fn(state: TrainState, batch: Batch, key, use_aug):
+        batch = _maybe_fused_features(batch, fused_spec, fused_chunk)
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
         original_labels = batch.labels
@@ -206,6 +232,10 @@ def evaluate(eval_step, state, feats, scals, labels_np: np.ndarray,
                          + np.log1p(np.exp(-np.abs(logits_all)))))
     m = metrics_mod.binary_metrics(probs, labels)
     m["loss"] = loss
+    # probability range, mirrored from reference print_validation_accuracy
+    # (src/utils/display.py:13-15)
+    m["prob_min"] = float(probs.min()) if n_use else 0.0
+    m["prob_max"] = float(probs.max()) if n_use else 0.0
     return m
 
 
@@ -226,24 +256,64 @@ def fit(model, train_store, val_store, train_labels, val_labels,
     if steps_per_epoch == 0:
         raise ValueError("batch_size larger than the training split")
 
-    feats_tr = jnp.asarray(train_store[0])
-    labels_tr = jnp.asarray(train_labels)
+    # Input layout: single-device keeps the whole dataset resident on device
+    # and a step gathers by index (no per-step H2D through the relay). Under a
+    # mesh, input is HOST-resident and streamed: each process holds only its
+    # example shard (loader.host_shard) and prefetched batches are device_put
+    # with the mesh's batch sharding (loader.stream_batches) — on a pod no
+    # host ever materializes the full dataset. With one process the batch
+    # schedule is identical to the resident path (same permutation source),
+    # so histories match across layouts (mod f32 reduction order).
+    streaming = mesh is not None
+    if streaming:
+        from tpu_breath.data import loader as loader_mod
+        n_proc = jax.process_count()
+        if cfg.batch_size % mesh.size:
+            raise ValueError("batch_size must divide the mesh size")
+        shard = loader_mod.host_shard(n_train)
+        feats_host = np.asarray(train_store[0])[shard]
+        scals_host = (np.zeros((len(feats_host), 0), np.float32)
+                      if fused_spec is not None
+                      else np.asarray(train_store[1])[shard])
+        labels_host = np.asarray(train_labels, np.float32)[shard]
+        local_batch = cfg.batch_size // n_proc
+        steps_per_epoch = len(feats_host) // local_batch
+        data_sharding = mesh_lib.data_sharding(mesh)
+        sample_f, sample_s = feats_host[:2], scals_host[:2]
+        sample_y = jnp.asarray(labels_host[:2])
+    else:
+        feats_tr = jnp.asarray(train_store[0])
+        labels_tr = jnp.asarray(train_labels)
+        scals_tr = (jnp.zeros((n_train, 0), jnp.float32)
+                    if fused_spec is not None
+                    else jnp.asarray(train_store[1]))
+        sample_f, sample_s = feats_tr[:2], scals_tr[:2]
+        sample_y = labels_tr[:2]
     feats_va = jnp.asarray(val_store[0])
     scals_va = jnp.asarray(val_store[1])
+    if mesh is not None:
+        # val set stays replicated (its length rarely divides the mesh);
+        # make_eval_step's sharding constraint shards each gathered batch
+        feats_va = jax.device_put(feats_va, mesh_lib.replicated(mesh))
+        scals_va = jax.device_put(scals_va, mesh_lib.replicated(mesh))
 
     if fused_spec is not None:
         from tpu_breath.features import extract_features
-        scals_tr = jnp.zeros((n_train, 0), jnp.float32)  # unused in fused mode
         sf, ss = jax.jit(lambda w: extract_features(w, fused_spec)
-                         )(feats_tr[:2])
-        sample = Batch(sf, ss, labels_tr[:2])
+                         )(jnp.asarray(sample_f))
+        sample = Batch(sf, ss, sample_y)
     else:
-        scals_tr = jnp.asarray(train_store[1])
-        sample = Batch(feats_tr[:2], scals_tr[:2], labels_tr[:2])
+        sample = Batch(jnp.asarray(sample_f), jnp.asarray(sample_s), sample_y)
     rng, init_rng = jax.random.split(rng)
     state, tx, schedule = create_state(model, init_rng, cfg, steps_per_epoch,
                                        sample)
-    train_step = make_train_step(model, tx, cfg, mesh, fused_spec=fused_spec)
+    if streaming:
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+        train_step = make_train_step_batched(model, tx, cfg, mesh,
+                                             fused_spec=fused_spec)
+    else:
+        train_step = make_train_step(model, tx, cfg, mesh,
+                                     fused_spec=fused_spec)
     eval_step = make_eval_step(model, mesh)
 
     start_epoch = 0
@@ -260,18 +330,28 @@ def fit(model, train_store, val_store, train_labels, val_labels,
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         use_aug = jnp.asarray(epoch >= cfg.warmup_epochs)
-        perm = perm_rng.permutation(n_train)
         rng, ekey = jax.random.split(rng)
         keys = jax.random.split(ekey, steps_per_epoch)
         # Dispatch every step asynchronously and fetch the whole epoch's stats
         # with ONE host sync at the end: a device roundtrip costs ~35 ms on
         # this backend, so syncing per step would be latency-bound.
         pending = []
-        for s in range(steps_per_epoch):
-            idx = jnp.asarray(perm[s * cfg.batch_size:(s + 1) * cfg.batch_size])
-            state, stats = train_step(state, feats_tr, scals_tr, labels_tr,
-                                      idx, keys[s], use_aug)
-            pending.append(stats)
+        if streaming:
+            stream = loader_mod.stream_batches(
+                (feats_host, scals_host, labels_host), local_batch, perm_rng,
+                depth=2, sharding=data_sharding)
+            for s, (bf, bs, by) in enumerate(stream):
+                batch = Batch(bf, bs if fused_spec is None else None, by)
+                state, stats = train_step(state, batch, keys[s], use_aug)
+                pending.append(stats)
+        else:
+            perm = perm_rng.permutation(n_train)
+            for s in range(steps_per_epoch):
+                idx = jnp.asarray(
+                    perm[s * cfg.batch_size:(s + 1) * cfg.batch_size])
+                state, stats = train_step(state, feats_tr, scals_tr,
+                                          labels_tr, idx, keys[s], use_aug)
+                pending.append(stats)
         stats = jax.device_get(pending)
         train_loss = float(np.mean([st["loss"] for st in stats]))
         train_acc = float(np.mean([st["acc"] for st in stats]))
@@ -288,7 +368,9 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         log_fn(f"[Epoch {epoch + 1:03d}] aug={'ON' if epoch >= cfg.warmup_epochs else 'OFF'} "
                f"train loss {train_loss:.4f} acc {train_acc:.4f} | "
                f"val loss {val['loss']:.4f} acc {val['acc']:.4f} "
-               f"auc {val['auc']:.4f} ({row['sec']:.1f}s)")
+               f"auc {val['auc']:.4f} f1 {val['f1']:.4f} "
+               f"p∈[{val['prob_min']:.3f},{val['prob_max']:.3f}] "
+               f"lr {row['lr']:.2e} ({row['sec']:.1f}s)")
 
         metric = val["acc"] if cfg.monitor == "val_acc" else -val["loss"]
         best_metric = best_val_acc if cfg.monitor == "val_acc" else -best_val_loss
