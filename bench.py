@@ -1,16 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: wav segments/sec through the batched device feature graph,
-against the CPU (NumPy/SciPy, librosa-equivalent) per-clip pipeline — the
-north-star metric of BASELINE.json (the reference publishes no wall-clock
-numbers; its librosa stack runs ~1 clip/s/core, measured fresh here).
+"""Benchmark: wav segments/sec through (a) the batched device feature graph
+and (b) the FUSED wav->feature->train step (BASELINE.json's headline metric:
+"wav segments/sec (feature+train step)"), against the CPU (NumPy/SciPy,
+librosa-equivalent) per-clip pipeline. Also reports single-chip MFU for both
+graphs from XLA's compiled cost analysis.
 
 Measurement notes for this backend (axon relay to one v5e chip):
 - block_until_ready() is a no-op through the relay, so completion is forced
   by materializing a checksum scalar on host.
-- One device roundtrip costs ~35 ms, so all chunks run inside a single jitted
-  lax.map and the whole 2048-clip sweep pays that latency once.
+- One device roundtrip costs ~35 ms, so work is batched inside jitted graphs
+  and dispatched asynchronously with one final sync.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 from __future__ import annotations
 
@@ -23,7 +24,10 @@ import numpy as np
 
 N_CLIPS = 2048
 CHUNK = 128
-BASELINE_CLIPS = 8
+TRAIN_BATCH = 512
+TRAIN_STEPS = 8
+BASELINE_CLIPS = 4
+V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
 
 
 def _load_clips(n: int) -> np.ndarray:
@@ -36,25 +40,35 @@ def _load_clips(n: int) -> np.ndarray:
     return (rng.standard_normal((n, 16000)) * 0.05).astype(np.float32)
 
 
+def _flops(jitted, *args) -> float | None:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
 def main() -> None:
     wavs = _load_clips(N_CLIPS)
 
     # --- CPU baseline: the per-clip NumPy/SciPy pipeline (same math stack
     # librosa dispatches to), single core, like the reference's precompute.
     from tpu_breath.baseline import feature_np
-    from tpu_breath.config import DEFAULT_FEATURES
+    from tpu_breath.config import DEFAULT_FEATURES, CNN8_TRAIN
     t0 = time.perf_counter()
     for i in range(BASELINE_CLIPS):
         feature_np.process_clip(wavs[i], DEFAULT_FEATURES)
     cpu_rate = BASELINE_CLIPS / (time.perf_counter() - t0)
 
-    # --- device path: all chunks inside one jitted graph; a checksum scalar
-    # forces completion of every output.
     import jax
     import jax.numpy as jnp
     from jax import lax
     from tpu_breath.features import extract_features
 
+    # --- (a) feature-only: all chunks inside one jitted graph; a checksum
+    # scalar forces completion of every output.
     @jax.jit
     def sweep(w):
         chunks = w.reshape(N_CLIPS // CHUNK, CHUNK, -1)
@@ -66,17 +80,68 @@ def main() -> None:
         return jnp.sum(lax.map(one, chunks))
 
     x = jnp.asarray(wavs)
+    feat_flops = _flops(sweep, x)
     float(sweep(x))  # compile + warmup
     t0 = time.perf_counter()
     checksum = float(sweep(x))
-    tpu_rate = N_CLIPS / (time.perf_counter() - t0)
+    feat_dt = time.perf_counter() - t0
+    feat_rate = N_CLIPS / feat_dt
     assert np.isfinite(checksum)
+    feat_mfu = (feat_flops / feat_dt / V5E_PEAK_FLOPS
+                if feat_flops else None)
+
+    # --- (b) fused wav->feature->train step (the headline): one donated jit
+    # graph per step; dispatch TRAIN_STEPS steps asynchronously, sync once.
+    from tpu_breath.augment import Batch
+    from tpu_breath.models.cnn8 import CNN8
+    from tpu_breath.train import loop as train_loop
+
+    cfg = type(CNN8_TRAIN)(**{**CNN8_TRAIN.__dict__,
+                              "batch_size": TRAIN_BATCH})
+    model = CNN8(num_scalar_features=DEFAULT_FEATURES.n_scalars)
+    labels = jnp.asarray(np.tile([0.0, 1.0], N_CLIPS // 2))
+    sf, ss = jax.jit(lambda w: extract_features(w, DEFAULT_FEATURES))(x[:2])
+    sample = Batch(sf, ss, labels[:2])
+    state, tx, _ = train_loop.create_state(
+        model, jax.random.PRNGKey(0), cfg,
+        steps_per_epoch=N_CLIPS // TRAIN_BATCH, sample_batch=sample)
+    step = train_loop.make_train_step(model, tx, cfg,
+                                      fused_spec=DEFAULT_FEATURES,
+                                      fused_chunk=CHUNK)
+    scals_dummy = jnp.zeros((N_CLIPS, 0), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), TRAIN_STEPS)
+    use_aug = jnp.asarray(True)
+
+    def run_steps(state):
+        stats = None
+        for s in range(TRAIN_STEPS):
+            idx = jnp.asarray(np.arange(TRAIN_BATCH) + (s * TRAIN_BATCH)
+                              % (N_CLIPS - TRAIN_BATCH))
+            state, stats = step(state, x, scals_dummy, labels, idx,
+                                keys[s], use_aug)
+        return state, float(stats["loss"])  # one host sync
+
+    state, _ = run_steps(state)  # compile + warmup
+    t0 = time.perf_counter()
+    state, loss = run_steps(state)
+    fused_dt = time.perf_counter() - t0
+    fused_rate = TRAIN_STEPS * TRAIN_BATCH / fused_dt
+    assert np.isfinite(loss)
+
+    step_flops = _flops(step, state, x, scals_dummy, labels,
+                        jnp.arange(TRAIN_BATCH), keys[0], use_aug)
+    fused_mfu = (step_flops * TRAIN_STEPS / fused_dt / V5E_PEAK_FLOPS
+                 if step_flops else None)
 
     print(json.dumps({
-        "metric": "feature extraction throughput (9-ch spectrogram stack + 36 scalars per 1s wav clip)",
-        "value": round(tpu_rate, 2),
+        "metric": "fused wav->feature->train-step throughput (9-ch spectrogram stack + 36 scalars + CNN8 fwd/bwd/AdamW per 1s wav clip)",
+        "value": round(fused_rate, 2),
         "unit": "clips/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline": round(feat_rate / cpu_rate, 2),
+        "feature_only_clips_per_s": round(feat_rate, 2),
+        "cpu_oracle_clips_per_s": round(cpu_rate, 3),
+        "feature_mfu": round(feat_mfu, 4) if feat_mfu else None,
+        "fused_train_mfu": round(fused_mfu, 4) if fused_mfu else None,
     }))
 
 

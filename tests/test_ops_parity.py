@@ -203,18 +203,94 @@ def test_chroma_stft_end_to_end(real_clips):
         assert np.max(np.abs(got[b] - ref)) < 1e-3
 
 
-def test_cqt_mag(real_clips):
+def test_cqt_mag_direct(real_clips):
+    """The retained direct single-GEMM CQT vs the direct oracle (NOT the
+    librosa path — see test_cqt_mag_multirate for that)."""
     got = np.asarray(J(cqt_ops.cqt_mag, sr=SR, hop_length=HOP, fmin=SPEC.cqt_fmin, n_bins=252, bins_per_octave=36)(jnp.asarray(real_clips)))
     for b in range(real_clips.shape[0]):
         ref = np.abs(L.cqt(real_clips[b], SR, HOP, SPEC.cqt_fmin, 252, 36))
         assert rel_err(got[b], ref) < 1e-3
 
 
+def test_decimate2_matches_scipy_resample_poly():
+    """The octave decimator must bit-match librosa's 'polyphase' resample
+    (scipy.signal.resample_poly(y, 1, 2), x sqrt(2) for scale=True)."""
+    from tpu_breath.ops.cqt import _vqt_consts, decimate2
+    _, _, _, taps = _vqt_consts(SR, SPEC.cqt_fmin, 36, 7)
+    rng = np.random.default_rng(3)
+    for n in (16000, 8000, 1000, 500, 251):
+        y = rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(jax.jit(lambda v: decimate2(v, taps))(jnp.asarray(y)))
+        ref = scipy.signal.resample_poly(y.astype(np.float64), 1, 2) / np.sqrt(0.5)
+        assert got.shape == ref.shape
+        assert np.max(np.abs(got - ref)) < 1e-5, n
+
+
+def test_estimate_tuning_from_y(real_clips):
+    """Device tuning (from the shared hop-256 |STFT2048| even frames) vs the
+    oracle's librosa estimate_tuning(y=...) path."""
+    from tpu_breath.ops import spectral as spectral_ops
+    from tpu_breath.ops import chroma as chroma_jax
+
+    def dev(y):
+        s = spectral_ops.stft_mag(y, 2048, HOP)[..., ::2]
+        return chroma_jax.estimate_tuning(s, SR, 2048, bins_per_octave=36)
+
+    got = np.asarray(jax.jit(jax.vmap(dev))(jnp.asarray(real_clips)))
+    for b in range(real_clips.shape[0]):
+        ref = L.estimate_tuning_from_y(real_clips[b].astype(np.float64), SR,
+                                       bins_per_octave=36)
+        assert abs(got[b] - ref) < 1e-6, (b, got[b], ref)
+
+
+def test_cqt_mag_multirate(real_clips):
+    """Device multirate CQT vs the oracle's librosa-faithful vqt recursion,
+    at the per-clip estimated tuning."""
+    from tpu_breath.ops import spectral as spectral_ops
+    from tpu_breath.ops import chroma as chroma_jax
+
+    def dev(y):
+        s = spectral_ops.stft_mag(y, 2048, HOP)[..., ::2]
+        idx = chroma_jax.estimate_tuning_index(s, SR, 2048,
+                                               bins_per_octave=36)
+        return cqt_ops.cqt_mag_multirate(y, idx, SR, HOP, SPEC.cqt_fmin,
+                                         36, 7)
+
+    got = np.asarray(jax.jit(jax.vmap(dev))(jnp.asarray(real_clips)))
+    for b in range(real_clips.shape[0]):
+        y64 = real_clips[b].astype(np.float64)
+        tun = L.estimate_tuning_from_y(y64, SR, bins_per_octave=36)
+        ref = np.abs(L.vqt_multirate(y64, SR, HOP, SPEC.cqt_fmin, 252, 36,
+                                     tuning=tun))
+        T = min(got.shape[-1], ref.shape[-1])
+        assert rel_err(got[b][:, :T], ref[:, :T]) < 1e-3
+
+
 def test_chroma_cens(real_clips):
+    """Device CENS vs the FULL librosa path (tuning estimation + multirate
+    CQT + quantize/smooth/normalize chain) — closes the round-1 oracle-trust
+    gap on this channel."""
     got = np.asarray(J(cqt_ops.chroma_cens, sr=SR, hop_length=HOP, fmin=SPEC.cqt_fmin)(jnp.asarray(real_clips)))
     for b in range(real_clips.shape[0]):
-        ref = L.chroma_cens(real_clips[b], SR, HOP, fmin=SPEC.cqt_fmin)
-        assert np.max(np.abs(got[b] - ref)) < 1e-3
+        ref = L.chroma_cens_librosa(real_clips[b].astype(np.float64), SR, HOP,
+                                    fmin=SPEC.cqt_fmin)
+        T = min(got.shape[-1], ref.shape[-1])
+        assert np.max(np.abs(got[b][:, :T] - ref[:, :T])) < 1e-3
+
+
+def test_multirate_vs_direct_relationship(real_clips):
+    """The direct transform x filter lengths approximates the multirate
+    response (resampler ripple + basis sparsification + positive-frequency
+    truncation account for the residual); guards the documented deviation
+    bound recorded in PARITY.md."""
+    y = real_clips[0].astype(np.float64)
+    freqs = SPEC.cqt_fmin * 2.0 ** (np.arange(252) / 36)
+    lengths, _ = L.wavelet_lengths(freqs, SR, bins_per_octave=36)
+    direct = np.abs(L.cqt(y, SR, HOP, SPEC.cqt_fmin, 252, 36)) * lengths[:, None]
+    multi = np.abs(L.vqt_multirate(y, SR, HOP, SPEC.cqt_fmin, 252, 36))
+    T = min(direct.shape[1], multi.shape[1])
+    r = np.abs(direct[:, :T] - multi[:, :T]) / multi.max()
+    assert r.max() < 0.05, r.max()
 
 
 # ------------------------------------------------------------------ rhythm

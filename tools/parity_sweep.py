@@ -1,0 +1,118 @@
+"""Full-dataset parity sweep: the device feature graph vs the NumPy oracle
+(VERDICT r1 #4).
+
+Runs the batched device graph over ALL 5,000 clips (train + test), then
+re-derives a random sample of clips with the per-clip oracle
+(baseline/feature_np.process_clip) and reports per-channel error
+distributions + the tuning-estimate flip rate. Appends a summary JSON to
+PARITY_SWEEP.json (PARITY.md narrates the result).
+
+Usage: PYTHONPATH=. python tools/parity_sweep.py [--n-oracle 200] [--seed 0]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-oracle", type=int, default=200,
+                    help="clips to re-derive with the (slow) NumPy oracle")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--root", default="input")
+    ap.add_argument("--out", default="PARITY_SWEEP.json")
+    args = ap.parse_args()
+
+    from tpu_breath.config import DEFAULT_FEATURES, Paths
+    from tpu_breath.data import dataset as ds
+    from tpu_breath.data import wav as wav_io
+    from tpu_breath.baseline import feature_np, dsp_np
+
+    spec = DEFAULT_FEATURES
+    paths = Paths(root=args.root)
+    train_df, test_df = ds.load_frames(paths)
+    ids, wav_paths = [], []
+    for _, row in train_df.iterrows():
+        ids.append(row["ID"])
+        wav_paths.append(os.path.join(paths.train_audio_dir,
+                                      ds.train_wav_name(row["ID"])))
+    for _, row in test_df.iterrows():
+        ids.append(row["ID"])
+        wav_paths.append(os.path.join(paths.test_audio_dir,
+                                      ds.test_wav_name(row["ID"])))
+    wavs = wav_io.load_wav_batch(wav_paths, spec.expected_len)
+    print(f"{len(ids)} clips decoded")
+
+    # ---- device side: full dataset through the jitted graph
+    if ds.FeatureStore.cache_exists(paths.feature_cache):
+        store = ds.FeatureStore.load_cache(paths.feature_cache, mmap=False)
+        assert store.ids == ids, "cache/index mismatch; rerun precompute"
+        feats, scals = store.features, store.scalars
+        print("device features from cache")
+    else:
+        from tpu_breath.features import extract_features_batched
+        t0 = time.time()
+        feats, scals = extract_features_batched(wavs, spec)
+        print(f"device graph: {len(ids) / (time.time() - t0):.1f} clips/s")
+
+    # ---- oracle side: random sample
+    rng = np.random.default_rng(args.seed)
+    sample = rng.choice(len(ids), size=min(args.n_oracle, len(ids)),
+                        replace=False)
+    per_channel = {name: [] for name in spec.channel_order}
+    scalar_rel = []
+    tuning12_flips, tuning36_flips = 0, 0
+    t0 = time.time()
+    for j, i in enumerate(sample):
+        y = wavs[i].astype(np.float64)
+        out = feature_np.process_clip(wavs[i], spec)
+        for c, name in enumerate(spec.channel_order):
+            per_channel[name].append(float(np.max(np.abs(feats[i, c] - out[name]))))
+        rel = np.abs(scals[i] - out["scalars"]) / np.maximum(
+            np.abs(out["scalars"]), 1e-2)
+        scalar_rel.append(float(rel.max()))
+        # tuning flip accounting (device vs oracle estimate)
+        stft_m = np.abs(dsp_np.stft(y, spec.n_fft, spec.hop_length))
+        t12_o = dsp_np.estimate_tuning_from_S(stft_m, spec.sr, spec.n_fft, 12)
+        t36_o = dsp_np.estimate_tuning_from_y(y, spec.sr, 36)
+        import jax.numpy as jnp
+        from tpu_breath.ops import spectral as sp_ops, chroma as ch_ops
+        import jax
+        s512 = sp_ops.stft_mag(jnp.asarray(wavs[i]), spec.n_fft, spec.hop_length)
+        t12_d = float(jax.jit(lambda s: ch_ops.estimate_tuning(
+            s, spec.sr, spec.n_fft, 12))(s512))
+        s2048 = sp_ops.stft_mag(jnp.asarray(wavs[i]), 2048, spec.hop_length)[..., ::2]
+        t36_d = float(jax.jit(lambda s: ch_ops.estimate_tuning(
+            s, spec.sr, 2048, 36))(s2048))
+        tuning12_flips += int(abs(t12_d - t12_o) > 1e-6)
+        tuning36_flips += int(abs(t36_d - t36_o) > 1e-6)
+        if (j + 1) % 20 == 0:
+            rate = (j + 1) / (time.time() - t0)
+            print(f"  oracle {j + 1}/{len(sample)} ({rate:.2f} clips/s)")
+
+    def stats(v):
+        v = np.asarray(v)
+        return {"max": float(v.max()), "p99": float(np.percentile(v, 99)),
+                "p50": float(np.percentile(v, 50)), "mean": float(v.mean())}
+
+    report = {
+        "n_total": len(ids),
+        "n_oracle_sampled": int(len(sample)),
+        "channel_max_abs_err": {k: stats(v) for k, v in per_channel.items()},
+        "scalar_max_rel_err": stats(scalar_rel),
+        "tuning_flip_rate_bpo12": tuning12_flips / len(sample),
+        "tuning_flip_rate_bpo36": tuning36_flips / len(sample),
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

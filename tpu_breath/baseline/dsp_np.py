@@ -287,6 +287,16 @@ def chroma_stft(S: np.ndarray, sr: float, n_chroma: int = 12) -> np.ndarray:
     return normalize(raw, norm=np.inf, axis=0)
 
 
+def estimate_tuning_from_y(y: np.ndarray, sr: float,
+                           bins_per_octave: int = 12) -> float:
+    """librosa.estimate_tuning(y=y, sr=sr, bins_per_octave=...): piptrack on
+    |stft(y, n_fft=2048, hop=512)| (piptrack's own defaults: hop = n_fft//4),
+    then the median-gated pitch histogram."""
+    n_fft = 2048
+    S = np.abs(stft(y, n_fft, n_fft // 4))
+    return estimate_tuning_from_S(S, sr, n_fft, bins_per_octave=bins_per_octave)
+
+
 # ---------------------------------------------------------------------------
 # Direct CQT + CENS chroma
 # ---------------------------------------------------------------------------
@@ -331,6 +341,194 @@ def cqt(y: np.ndarray, sr: float, hop_length: int, fmin: float, n_bins: int,
     if scale:
         C /= np.sqrt(lengths)[:, None]
     return C
+
+
+# ---------------------------------------------------------------------------
+# librosa's actual recursive multirate CQT (librosa 0.10 vqt/cqt algorithm):
+# per-octave FFT-basis correlation at successively halved sample rates.
+# Implemented to close the oracle-trust gap on the CENS channel (the direct
+# cqt() above is the textbook transform this algorithm approximates): the two
+# are compared on real clips in tests/test_cqt_multirate.py and the measured
+# deviation is recorded in PARITY.md.
+#
+# res_type: librosa 0.10's default is 'soxr_hq'; soxr is not installed here,
+# so the 2:1 octave decimation implements librosa's 'polyphase' mode exactly
+# (scipy.signal.resample_poly is the backend librosa itself calls), plus a
+# 'sinc' mode (very long windowed-sinc half-band FIR) used to bound the
+# sensitivity of the result to the resampler choice.
+# ---------------------------------------------------------------------------
+
+WINDOW_BANDWIDTH_HANN = 1.50018310546875  # librosa.filters.WINDOW_BANDWIDTHS
+
+
+def _cqt_alpha(bins_per_octave: int) -> float:
+    """librosa.filters._relative_bandwidth for geometric bin spacing."""
+    r2 = 2.0 ** (2.0 / bins_per_octave)
+    return (r2 - 1) / (r2 + 1)
+
+
+def wavelet_lengths(freqs: np.ndarray, sr: float, filter_scale: float = 1.0,
+                    bins_per_octave: int = 36):
+    """librosa.filters.wavelet_lengths (gamma=0): (lengths, f_cutoff)."""
+    alpha = _cqt_alpha(bins_per_octave)
+    Q = filter_scale / alpha
+    lengths = Q * sr / freqs
+    f_cutoff = np.max(freqs * (1 + 0.5 * WINDOW_BANDWIDTH_HANN / Q))
+    return lengths, f_cutoff
+
+
+def wavelet_basis(freqs: np.ndarray, sr: float, bins_per_octave: int,
+                  filter_scale: float = 1.0, pad_fft: bool = True):
+    """librosa.filters.wavelet: l1-normalized hann-windowed complex
+    exponentials, centered in a pow2-padded (pad_fft) array.
+    Returns (basis [n, pad_to] complex128, lengths [n])."""
+    lengths, _ = wavelet_lengths(freqs, sr, filter_scale, bins_per_octave)
+    max_len = lengths.max()
+    pad_to = (int(2.0 ** np.ceil(np.log2(max_len))) if pad_fft
+              else int(np.ceil(max_len)))
+    basis = np.zeros((len(freqs), pad_to), dtype=np.complex128)
+    for i, (ilen, freq) in enumerate(zip(lengths, freqs)):
+        t = np.arange(-ilen // 2, ilen // 2, dtype=np.float64)
+        sig = np.exp(1j * 2 * np.pi * freq * t / sr)
+        sig = sig * hann(len(sig), periodic=True)
+        sig = sig / np.sum(np.abs(sig))
+        start = (pad_to - len(sig)) // 2
+        basis[i, start:start + len(sig)] = sig
+    return basis, lengths
+
+
+def sparsify_rows(x: np.ndarray, quantile: float = 0.01) -> np.ndarray:
+    """librosa.util.sparsify_rows (dense equivalent): per row, zero the
+    smallest-magnitude entries whose cumulative l1 mass is below quantile."""
+    mags = np.abs(x)
+    norms = np.sum(mags, axis=1, keepdims=True)
+    mag_sort = np.sort(mags, axis=1)
+    cumulative = np.cumsum(mag_sort / norms, axis=1)
+    out = np.zeros_like(x)
+    for i in range(x.shape[0]):
+        j = int(np.argmin(cumulative[i] < quantile))
+        keep = mags[i] >= mag_sort[i, j]
+        out[i, keep] = x[i, keep]
+    return out
+
+
+def _vqt_filter_fft(sr: float, freqs_oct: np.ndarray, bins_per_octave: int,
+                    filter_scale: float = 1.0, sparsity: float = 0.01):
+    """librosa __vqt_filter_fft: pow2-padded wavelet basis, scaled by
+    length/n_fft, FFT'd, positive-frequency half, row-sparsified."""
+    basis, lengths = wavelet_basis(freqs_oct, sr, bins_per_octave,
+                                   filter_scale)
+    n_fft = basis.shape[1]
+    basis = basis * (lengths[:, None] / float(n_fft))
+    fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
+    if sparsity is not None and sparsity > 0:
+        fft_basis = sparsify_rows(fft_basis, quantile=sparsity)
+    return fft_basis, n_fft
+
+
+def resample_half(y: np.ndarray, res_type: str = "polyphase") -> np.ndarray:
+    """librosa.resample(y, orig_sr=2, target_sr=1, res_type=..., scale=True):
+    2:1 decimation, length fixed to ceil(n/2), scaled by 1/sqrt(1/2)."""
+    n_out = int(np.ceil(y.shape[-1] / 2))
+    if res_type == "polyphase":
+        y_hat = scipy.signal.resample_poly(y, 1, 2, axis=-1)
+    elif res_type == "sinc":
+        # 2:1 half-band windowed-sinc FIR, far longer than soxr/polyphase use:
+        # an (over-engineered) reference decimator to bound resampler effects
+        taps = scipy.signal.firwin(255, 0.5, window=("kaiser", 14.0))
+        y_hat = scipy.signal.upfirdn(taps, y, up=1, down=2)
+        lead = (255 - 1) // 4  # group delay (127) / down (2), rounded
+        y_hat = y_hat[..., lead:lead + n_out]
+    else:
+        raise ValueError(res_type)
+    if y_hat.shape[-1] < n_out:
+        y_hat = np.pad(y_hat, (0, n_out - y_hat.shape[-1]))
+    y_hat = y_hat[..., :n_out]
+    return y_hat / np.sqrt(0.5)
+
+
+def vqt_multirate(y: np.ndarray, sr: float, hop_length: int, fmin: float,
+                  n_bins: int, bins_per_octave: int, tuning: float = 0.0,
+                  filter_scale: float = 1.0, sparsity: float = 0.01,
+                  res_type: str = "polyphase", scale: bool = True
+                  ) -> np.ndarray:
+    """librosa.cqt's actual recursive algorithm (librosa 0.10 vqt, gamma=0):
+    top octave correlated at full rate via FFT-basis x STFT(window='ones'),
+    then y is 2:1-decimated and the hop halved for each lower octave; the
+    per-octave responses are stacked and scale-compensated."""
+    fmin = fmin * 2.0 ** (tuning / bins_per_octave)
+    n_octaves = int(np.ceil(n_bins / bins_per_octave))
+    n_filters = min(bins_per_octave, n_bins)
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    lengths, f_cutoff = wavelet_lengths(freqs, sr, filter_scale,
+                                        bins_per_octave)
+    if f_cutoff > sr / 2:
+        raise ValueError("filter cutoff exceeds Nyquist")
+    # early downsampling (librosa __early_downsample): inactive for this
+    # pipeline's parameters — assert rather than implement untested code
+    ds1 = max(0, int(np.ceil(np.log2(0.85 * (sr / 2) / f_cutoff)) - 1) - 2)
+    hop_twos = int(np.log2(hop_length & -hop_length))
+    ds2 = max(0, hop_twos - n_octaves + 1)
+    assert min(ds1, ds2) == 0, "early downsampling not implemented"
+
+    vqt_resp = []
+    my_y, my_sr, my_hop = np.asarray(y, np.float64), float(sr), hop_length
+    for i in range(n_octaves):
+        sl = (slice(-n_filters, None) if i == 0
+              else slice(-n_filters * (i + 1), -n_filters * i))
+        fft_basis, n_fft = _vqt_filter_fft(my_sr, freqs[sl], bins_per_octave,
+                                           filter_scale, sparsity)
+        fft_basis = fft_basis * np.sqrt(sr / my_sr)  # downsample compensation
+        D = stft(my_y, n_fft, my_hop, window="ones")
+        vqt_resp.append(fft_basis @ D)
+        if my_hop % 2 == 0:
+            my_hop //= 2
+            my_sr /= 2.0
+            my_y = resample_half(my_y, res_type)
+
+    # __trim_stack: bottom octaves first in vqt_resp order top->down
+    max_col = min(r.shape[-1] for r in vqt_resp)
+    C = np.empty((n_bins, max_col), dtype=np.complex128)
+    end = n_bins
+    for resp in vqt_resp:
+        n_oct = resp.shape[0]
+        if end < n_oct:
+            C[:end] = resp[-end:, :max_col]
+        else:
+            C[end - n_oct:end] = resp[:, :max_col]
+        end -= n_oct
+    if scale:
+        C = C / np.sqrt(lengths[:, None])
+    return C
+
+
+def chroma_cens_librosa(y: np.ndarray, sr: float, hop_length: int,
+                        fmin: float = 32.703195662574764, n_chroma: int = 12,
+                        bins_per_octave: int = 36, n_octaves: int = 7,
+                        win_len_smooth: int = 41,
+                        res_type: str = "polyphase") -> np.ndarray:
+    """The full librosa.feature.chroma_cens(y=y, ...) path: per-clip tuning
+    estimation (piptrack at n_fft=2048), recursive multirate CQT, chroma
+    fold, l1 norm, quantize, hann smooth, l2 norm — vs chroma_cens() below
+    which fixes tuning=0 and uses the direct CQT."""
+    tuning = estimate_tuning_from_y(y, sr, bins_per_octave=bins_per_octave)
+    n_bins = n_octaves * bins_per_octave
+    C = np.abs(vqt_multirate(y, sr, hop_length, fmin, n_bins,
+                             bins_per_octave, tuning=tuning,
+                             res_type=res_type))
+    # chroma_cqt folds with the UNSHIFTED fmin (only cqt() applies the
+    # tuning shift); for C1 the resulting roll is 0 either way
+    ctc = cq_to_chroma(n_bins, bins_per_octave, n_chroma, fmin)
+    chroma = ctc @ C
+    chroma = normalize(chroma, norm=1, axis=0)
+    quant_steps = [0.4, 0.2, 0.1, 0.05]
+    chroma_quant = np.zeros_like(chroma)
+    for step in quant_steps:
+        chroma_quant += 0.25 * (chroma > step)
+    win = hann(win_len_smooth + 2, periodic=False)
+    win /= np.sum(win)
+    cens = scipy.signal.convolve(chroma_quant, win[None, :], mode="same")
+    return normalize(cens, norm=2, axis=0)
 
 
 def cq_to_chroma(n_input: int, bins_per_octave: int, n_chroma: int,

@@ -148,10 +148,11 @@ def process_clip(y: np.ndarray, spec: FeatureSpec = FeatureSpec()) -> dict[str, 
 
     stft_m = np.abs(L.stft(y, n_fft, hop))
     chroma = L.chroma_stft(stft_m, sr)
-    cens = L.chroma_cens(y, sr, hop, fmin=spec.cqt_fmin,
-                         bins_per_octave=spec.cqt_bins_per_octave,
-                         n_octaves=spec.cqt_n_octaves,
-                         win_len_smooth=spec.cens_win_len_smooth)
+    # full librosa path: per-clip tuning estimation + recursive multirate CQT
+    cens = L.chroma_cens_librosa(y, sr, hop, fmin=spec.cqt_fmin,
+                                 bins_per_octave=spec.cqt_bins_per_octave,
+                                 n_octaves=spec.cqt_n_octaves,
+                                 win_len_smooth=spec.cens_win_len_smooth)
     chroma_all = np.vstack([chroma, cens])
     chroma_p = pad_freq(pad_time(_znorm_rows(chroma_all).astype(np.float32), 24, T),
                         24, spec.n_mels)

@@ -182,6 +182,8 @@ def cmd_train(args) -> None:
         if getattr(args, "batch_size", None):
             overrides["batch_size"] = args.batch_size
             overrides["eval_batch_size"] = 2 * args.batch_size
+        if getattr(args, "epoch_scan", False):
+            overrides["epoch_scan"] = True
         if overrides:
             cfg = type(cfg)(**{**cfg.__dict__, **overrides})
         results[arch] = _train_one(arch, cfg, tr, va, y_tr, y_va, paths,
@@ -287,6 +289,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--f32", action="store_true",
                         help="float32 activations instead of bfloat16 "
                              "(debugging / bit-level layout comparisons)")
+        sp.add_argument("--epoch-scan", dest="epoch_scan",
+                        action="store_true",
+                        help="run each epoch as ONE lax.scan dispatch "
+                             "instead of per-step async dispatch")
         sp.add_argument("--mesh", default="auto", metavar="auto|off|N",
                         help="data-parallel mesh: 'auto' uses all devices "
                              "when >1 (host-sharded streamed input), 'off' "

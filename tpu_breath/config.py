@@ -117,6 +117,10 @@ class TrainCfg:
     # val tail via drop_last=True (discrepancy D7, src/utils/dataloaders.py:42);
     # set True to reproduce that exact behavior.
     parity_drop_last_eval: bool = False
+    # Run each epoch's train steps as ONE lax.scan dispatch instead of
+    # per-step async dispatch (loop.make_epoch_runner). Step semantics are
+    # identical; choose by measured wall time on the target backend.
+    epoch_scan: bool = False
 
 
 # Orchestrator-level hyperparameters for the two flagship models, matching

@@ -65,13 +65,25 @@ def extract_features(y: jax.Array,
         [mf, cepstral.delta(mf, order=1), cepstral.delta(mf, order=2)], axis=-2)
     mfcc_c = _pads(_zn_rows(mf_all), spec)
 
+    # --- shared 2048-point spectrograms: the onset-strength mel, the scalar
+    # descriptors' mel/|STFT|, and the CENS tuning estimate all reuse the
+    # same transforms — compute once
+    re2, im2 = spectral.stft_ri(y, 2048, hop)  # [..., T, F] time-major
+    p2048 = re2 * re2 + im2 * im2
+    stft2048_mag = jnp.sqrt(p2048).swapaxes(-1, -2)
+    fb2048 = jnp.asarray(spectral.mel_matrix(sr, 2048, spec.n_mels))
+    mel2048_power = jnp.matmul(p2048, fb2048.T,
+                               precision=spectral.MM_PRECISION
+                               ).swapaxes(-1, -2)
+
     # --- chroma_stft + chroma_cens stack (process.py:51-57)
     stft512 = spectral.stft_mag(y, n_fft, hop)
     ch = chroma_ops.chroma_stft(stft512, sr)
     cens = cqt_ops.chroma_cens(y, sr, hop, spec.cqt_fmin,
                                bins_per_octave=spec.cqt_bins_per_octave,
                                n_octaves=spec.cqt_n_octaves,
-                               win_len_smooth=spec.cens_win_len_smooth)
+                               win_len_smooth=spec.cens_win_len_smooth,
+                               stft2048_mag=stft2048_mag)
     chroma_all = jnp.concatenate([ch, cens], axis=-2)
     chroma_c = _pads(_zn_rows(chroma_all), spec)
 
@@ -89,16 +101,6 @@ def extract_features(y: jax.Array,
     # --- 2-D DCT modulation spectrum (methods.py:142-143)
     mod = cepstral.mod_spec(mel_db, n_keep=40)
     mod_c = _pads(_zn(mod), spec)
-
-    # --- shared 2048-point spectrograms: the onset-strength mel and the
-    # scalar descriptors' mel/|STFT| are the same transforms — compute once
-    re2, im2 = spectral.stft_ri(y, 2048, hop)  # [..., T, F] time-major
-    p2048 = re2 * re2 + im2 * im2
-    stft2048_mag = jnp.sqrt(p2048).swapaxes(-1, -2)
-    fb2048 = jnp.asarray(spectral.mel_matrix(sr, 2048, spec.n_mels))
-    mel2048_power = jnp.matmul(p2048, fb2048.T,
-                               precision=spectral.MM_PRECISION
-                               ).swapaxes(-1, -2)
 
     # --- tempogram (process.py:74-78): [384, 63], z-normed, truncated to 128
     onset = rhythm.onset_strength(y, sr, hop, mel_power=mel2048_power)

@@ -67,10 +67,13 @@ def _masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(k > 0, med, 0.0)
 
 
-def estimate_tuning(S: jax.Array, sr: float, n_fft: int,
-                    bins_per_octave: int = 12,
-                    resolution: float = 0.01) -> jax.Array:
-    """librosa.estimate_tuning(S=...) -> scalar tuning in [-0.5, 0.5) bins."""
+def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,
+                          bins_per_octave: int = 12,
+                          resolution: float = 0.01) -> jax.Array:
+    """librosa.estimate_tuning(S=...) as the histogram BIN INDEX (int32 in
+    [0, 1/resolution)): tuning = -0.5 + index * resolution. The index form
+    lets callers gather tuning-dependent trace-time constants (the CQT FFT
+    bases in ops/cqt.py) instead of rebuilding kernels in-graph."""
     pitches, mags = piptrack(S, sr, n_fft)
     pitch_mask = pitches > 0
     thresh = _masked_median(mags, pitch_mask)
@@ -88,9 +91,17 @@ def estimate_tuning(S: jax.Array, sr: float, n_fft: int,
     counts = jnp.sum(
         (flat_idx[None, :] == jnp.arange(n_bins, dtype=jnp.int32)[:, None])
         & flat_sel[None, :], axis=1, dtype=jnp.int32)
-    best = jnp.argmax(counts)
-    tuning = -0.5 + best.astype(jnp.float32) * resolution
-    return jnp.where(jnp.sum(sel) > 0, tuning, 0.0)
+    best = jnp.argmax(counts).astype(jnp.int32)
+    # empty candidate set -> tuning 0.0 -> the index of bin edge 0.0
+    return jnp.where(jnp.sum(sel) > 0, best, jnp.int32(n_bins // 2))
+
+
+def estimate_tuning(S: jax.Array, sr: float, n_fft: int,
+                    bins_per_octave: int = 12,
+                    resolution: float = 0.01) -> jax.Array:
+    """librosa.estimate_tuning(S=...) -> scalar tuning in [-0.5, 0.5) bins."""
+    best = estimate_tuning_index(S, sr, n_fft, bins_per_octave, resolution)
+    return -0.5 + best.astype(jnp.float32) * resolution
 
 
 @functools.lru_cache(maxsize=None)

@@ -307,10 +307,15 @@ def fit(model, train_store, val_store, train_labels, val_labels,
     rng, init_rng = jax.random.split(rng)
     state, tx, schedule = create_state(model, init_rng, cfg, steps_per_epoch,
                                        sample)
+    epoch_runner = None
     if streaming:
         state = jax.device_put(state, mesh_lib.replicated(mesh))
         train_step = make_train_step_batched(model, tx, cfg, mesh,
                                              fused_spec=fused_spec)
+    elif cfg.epoch_scan:
+        epoch_runner = make_epoch_runner(model, tx, cfg, mesh,
+                                         fused_spec=fused_spec)
+        train_step = None
     else:
         train_step = make_train_step(model, tx, cfg, mesh,
                                      fused_spec=fused_spec)
@@ -344,6 +349,15 @@ def fit(model, train_store, val_store, train_labels, val_labels,
                 batch = Batch(bf, bs if fused_spec is None else None, by)
                 state, stats = train_step(state, batch, keys[s], use_aug)
                 pending.append(stats)
+        elif epoch_runner is not None:
+            perm = perm_rng.permutation(n_train)
+            idx_mat = jnp.asarray(
+                perm[: steps_per_epoch * cfg.batch_size].reshape(
+                    steps_per_epoch, cfg.batch_size))
+            state, scan_stats = epoch_runner(state, feats_tr, scals_tr,
+                                             labels_tr, idx_mat, keys,
+                                             use_aug)
+            pending.append(scan_stats)  # arrays of shape [steps_per_epoch]
         else:
             perm = perm_rng.permutation(n_train)
             for s in range(steps_per_epoch):
