@@ -68,6 +68,19 @@ def main() -> None:
     per_channel = {name: [] for name in spec.channel_order}
     scalar_rel = []
     tuning12_flips, tuning36_flips = 0, 0
+
+    import jax
+    import jax.numpy as jnp
+    from tpu_breath.ops import spectral as sp_ops, chroma as ch_ops
+
+    @jax.jit
+    def device_tunings(y):
+        s512 = sp_ops.stft_mag(y, spec.n_fft, spec.hop_length)
+        t12 = ch_ops.estimate_tuning(s512, spec.sr, spec.n_fft, 12)
+        s2048 = sp_ops.stft_mag(y, 2048, spec.hop_length)[..., ::2]
+        t36 = ch_ops.estimate_tuning(s2048, spec.sr, 2048, 36)
+        return t12, t36
+
     t0 = time.time()
     for j, i in enumerate(sample):
         y = wavs[i].astype(np.float64)
@@ -81,18 +94,10 @@ def main() -> None:
         stft_m = np.abs(dsp_np.stft(y, spec.n_fft, spec.hop_length))
         t12_o = dsp_np.estimate_tuning_from_S(stft_m, spec.sr, spec.n_fft, 12)
         t36_o = dsp_np.estimate_tuning_from_y(y, spec.sr, 36)
-        import jax.numpy as jnp
-        from tpu_breath.ops import spectral as sp_ops, chroma as ch_ops
-        import jax
-        s512 = sp_ops.stft_mag(jnp.asarray(wavs[i]), spec.n_fft, spec.hop_length)
-        t12_d = float(jax.jit(lambda s: ch_ops.estimate_tuning(
-            s, spec.sr, spec.n_fft, 12))(s512))
-        s2048 = sp_ops.stft_mag(jnp.asarray(wavs[i]), 2048, spec.hop_length)[..., ::2]
-        t36_d = float(jax.jit(lambda s: ch_ops.estimate_tuning(
-            s, spec.sr, 2048, 36))(s2048))
+        t12_d, t36_d = map(float, device_tunings(jnp.asarray(wavs[i])))
         tuning12_flips += int(abs(t12_d - t12_o) > 1e-6)
         tuning36_flips += int(abs(t36_d - t36_o) > 1e-6)
-        if (j + 1) % 20 == 0:
+        if (j + 1) % 50 == 0:
             rate = (j + 1) / (time.time() - t0)
             print(f"  oracle {j + 1}/{len(sample)} ({rate:.2f} clips/s)")
 

@@ -198,25 +198,37 @@ def localmax(x: np.ndarray, axis: int = 0) -> np.ndarray:
 
 def piptrack(S: np.ndarray, sr: float, n_fft: int, fmin: float = 150.0,
              fmax: float = 4000.0, threshold: float = 0.1):
-    """librosa.piptrack on a precomputed magnitude spectrogram S [freq, T]."""
+    """librosa.piptrack on a precomputed magnitude spectrogram S [freq, T].
+
+    Computed in float32 like real librosa (librosa.load yields float32 and
+    the whole stft/piptrack chain inherits it), with the parabolic-shift
+    division done in float64 and rounded once to f32 — i.e. the correctly-
+    rounded f32 result. The device path (ops/chroma.py + ops/dd.py) computes
+    the same correctly-rounded values, so the two sides agree bit-for-bit
+    given equal S; plain f32 numpy/XLA arithmetic differs by ~1 ulp between
+    backends, which flips the near-tied tuning histogram argmax downstream
+    (PARITY.md)."""
+    S = np.asarray(S, np.float32)
     fmax = min(fmax, sr / 2.0)
     fft_freqs = fft_frequencies(sr, n_fft)
-    avg = 0.5 * (S[2:, :] - S[:-2, :])
-    shift = 2 * S[1:-1, :] - S[2:, :] - S[:-2, :]
-    tiny = np.finfo(S.dtype if S.dtype.kind == "f" else np.float64).tiny
-    shift = avg / (shift + (np.abs(shift) < tiny))
+    avg = np.float32(0.5) * (S[2:, :] - S[:-2, :])
+    shift = np.float32(2) * S[1:-1, :] - S[2:, :] - S[:-2, :]
+    tiny = np.finfo(np.float32).tiny
+    denom = shift + (np.abs(shift) < tiny).astype(np.float32)
+    shift = np.float32(avg.astype(np.float64) / denom.astype(np.float64))
     avg = np.pad(avg, ([(1, 1), (0, 0)]), mode="constant")
     shift = np.pad(shift, ([(1, 1), (0, 0)]), mode="constant")
-    dskew = 0.5 * avg * shift
+    dskew = np.float32(0.5) * avg * shift
     freq_mask = ((fmin <= fft_freqs) & (fft_freqs < fmax))[:, None]
-    ref_value = threshold * np.max(S, axis=0, keepdims=True)
-    idx = freq_mask & localmax(S * freq_mask, axis=0) & (S > ref_value)
-    pitches = np.zeros_like(S)
-    mags = np.zeros_like(S)
-    bins = np.arange(S.shape[0])[:, None]
-    pitches = np.where(idx, (bins + shift) * float(sr) / n_fft, 0.0)
-    mags = np.where(idx, S + dskew, 0.0)
-    return pitches, mags
+    ref_value = np.float32(threshold) * np.max(S, axis=0, keepdims=True)
+    idx = freq_mask & localmax(S * freq_mask.astype(np.float32), axis=0) \
+        & (S > ref_value)
+    bins = np.arange(S.shape[0], dtype=np.float32)[:, None]
+    pitches = np.where(idx,
+                       (bins + shift) * np.float32(sr) / np.float32(n_fft),
+                       np.float32(0.0))
+    mags = np.where(idx, S + dskew, np.float32(0.0))
+    return pitches.astype(np.float32), mags.astype(np.float32)
 
 
 def hz_to_octs(frequencies, tuning: float = 0.0, bins_per_octave: int = 12):
@@ -226,12 +238,15 @@ def hz_to_octs(frequencies, tuning: float = 0.0, bins_per_octave: int = 12):
 
 def pitch_tuning(frequencies: np.ndarray, resolution: float = 0.01,
                  bins_per_octave: int = 12) -> float:
-    frequencies = np.atleast_1d(frequencies)
+    """float32 chain with correctly-rounded divide/log2 (see piptrack)."""
+    frequencies = np.atleast_1d(frequencies).astype(np.float32)
     frequencies = frequencies[frequencies > 0]
     if len(frequencies) == 0:
         return 0.0
-    residual = np.mod(bins_per_octave * hz_to_octs(frequencies), 1.0)
-    residual[residual >= 0.5] -= 1.0
+    q = np.float32(frequencies.astype(np.float64) / 27.5)  # A440/16
+    octs = np.float32(np.log2(q.astype(np.float64)))
+    residual = np.mod(np.float32(bins_per_octave) * octs, np.float32(1.0))
+    residual[residual >= 0.5] -= np.float32(1.0)
     bins = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
     counts, tuning = np.histogram(residual, bins)
     return tuning[np.argmax(counts)]

@@ -35,14 +35,20 @@ def _localmax(x: jax.Array, axis: int) -> jax.Array:
 
 def piptrack(S: jax.Array, sr: float, n_fft: int, fmin: float = 150.0,
              fmax: float = 4000.0, threshold: float = 0.1):
-    """Parabolic-interpolation pitch tracking on magnitudes S[F, T]."""
+    """Parabolic-interpolation pitch tracking on magnitudes S[F, T].
+
+    The parabolic-shift division uses the correctly-rounded dd.div_cr: the
+    resulting pitches feed a near-tied histogram argmax (estimate_tuning),
+    where the ~1-ulp slop of the backend's native divide flips bins (see
+    ops/dd.py and PARITY.md)."""
+    from tpu_breath.ops import dd
     fmax = min(fmax, sr / 2.0)
     F = S.shape[0]
     fft_freqs = np.linspace(0, sr / 2, F)
     avg = 0.5 * (S[2:, :] - S[:-2, :])
     shift = 2 * S[1:-1, :] - S[2:, :] - S[:-2, :]
     tiny = np.finfo(np.float32).tiny
-    shift = avg / (shift + (jnp.abs(shift) < tiny))
+    shift = dd.div_cr(avg, shift + (jnp.abs(shift) < tiny))
     avg = jnp.pad(avg, ((1, 1), (0, 0)))
     shift = jnp.pad(shift, ((1, 1), (0, 0)))
     dskew = 0.5 * avg * shift
@@ -74,12 +80,16 @@ def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,
     [0, 1/resolution)): tuning = -0.5 + index * resolution. The index form
     lets callers gather tuning-dependent trace-time constants (the CQT FFT
     bases in ops/cqt.py) instead of rebuilding kernels in-graph."""
+    from tpu_breath.ops import dd
     pitches, mags = piptrack(S, sr, n_fft)
     pitch_mask = pitches > 0
     thresh = _masked_median(mags, pitch_mask)
     sel = (mags >= thresh) & pitch_mask
     safe_p = jnp.where(sel, pitches, 1.0)
-    octs = jnp.log2(safe_p / _A440_OVER16)
+    # correctly-rounded divide + log2: the residual histogram's modes are
+    # tied within +/-1 count on noise clips, so transcendental rounding
+    # decides the argmax (ops/dd.py)
+    octs = dd.log2_cr(dd.div_cr(safe_p, jnp.full_like(safe_p, _A440_OVER16)))
     residual = jnp.mod(bins_per_octave * octs, 1.0)
     residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
     n_bins = int(np.ceil(1.0 / resolution))

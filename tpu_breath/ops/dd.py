@@ -1,0 +1,149 @@
+"""Correctly-rounded float32 division and log2 on TPU via double-float
+(two-float32) arithmetic.
+
+Why this exists: the tuning-estimation histogram (ops/chroma.py) takes an
+argmax over ~100 near-tied bins of residuals r = mod(36*log2(pitch/27.5), 1).
+On breathing-noise clips the modes are tied within +/-1 count, so ANY
+rounding difference between the device's transcendentals and the host's
+flips the argmax — TPU's native f32 log2/divide are only ~1-2 ulp accurate
+and differ from numpy's, which flipped the estimated tuning on ~50% of
+clips (PARITY.md). With log2/divide computed here to double-float accuracy
+(~1e-14 relative) and rounded once to f32, the device bit-matches an oracle
+that computes the same quantities in float64 and rounds to f32 — the only
+remaining flips come from |STFT| magnitude noise between the matmul-DFT and
+the host FFT, which measurement shows is rare.
+
+Error-free transforms (two_sum, Veltkamp split / two_prod) rely on IEEE
+round-to-nearest f32 add/mul without hidden FMA contraction; XLA's HLO
+semantics keep separate mul/add ops unfused, so these identities hold.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_SPLITTER = np.float32(4097.0)  # 2**12 + 1 for f32 Veltkamp splitting
+_LN2_HI = np.float32(0.6931471824645996)       # fl32(ln 2)
+_LN2_LO = np.float32(-1.904654323148236e-09)   # ln2 - LN2_HI (dd tail)
+
+
+def _two_sum(a, b):
+    """a + b = s + e exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _fast_two_sum(a, b):
+    """a + b = s + e exactly, requires |a| >= |b|."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    """a = hi + lo with hi/lo each having <= 12 significant bits."""
+    t = _SPLITTER * a
+    hi = t - (t - a)
+    lo = a - hi
+    return hi, lo
+
+
+def _two_prod(a, b):
+    """a * b = p + e exactly (Veltkamp/Dekker, no FMA)."""
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def _dd_add(xh, xl, yh, yl):
+    sh, se = _two_sum(xh, yh)
+    te = se + xl + yl
+    return _fast_two_sum(sh, te)
+
+
+def _dd_mul(xh, xl, yh, yl):
+    ph, pe = _two_prod(xh, yh)
+    pe = pe + (xh * yl + xl * yh)
+    return _fast_two_sum(ph, pe)
+
+
+def _dd_mul_f(xh, xl, f):
+    """double-float times plain float."""
+    ph, pe = _two_prod(xh, f)
+    pe = pe + xl * f
+    return _fast_two_sum(ph, pe)
+
+
+def div_cr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Correctly-rounded float32 a / b (elementwise).
+
+    Newton refinement of the hardware reciprocal in double-float: accurate
+    to ~2^-40 before the single final rounding, so the f32 result matches
+    float64-computed-then-rounded division except within ~1e-12 of a
+    rounding boundary."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    y0 = 1.0 / b  # approximate hardware reciprocal
+    # r = a * y0; correct with e = a - b*r computed exactly; q = r + e*y0
+    r_h, r_l = _two_prod(a, y0)
+    br_h, br_l = _dd_mul_f(jnp.float32(b), jnp.zeros_like(b), r_h)
+    # e = a - b*r_h - b*r_l(approx)  (r_l tiny; fold via dd)
+    e_h, e_l = _dd_add(a, jnp.zeros_like(a), -br_h, -br_l)
+    e = e_h + (e_l - b * r_l)
+    q_h, q_l = _fast_two_sum(r_h, e * y0 + r_l)
+    return q_h + q_l
+
+
+# log2(1+u) series on u in [sqrt(2)/2 - 1, sqrt(2) - 1): use
+# log(m) = 2 atanh(z), z = (m-1)/(m+1), evaluated in double-float.
+_N_TERMS = 11  # z^2 <= 0.0295 -> term 2k+1 < 1e-17 at k=11
+
+
+def log2_cr(x: jax.Array) -> jax.Array:
+    """Correctly-rounded float32 log2(x) for x > 0 (elementwise).
+
+    Exponent/mantissa split by integer bit ops (exact), mantissa log via the
+    atanh series in double-float arithmetic, one final rounding to f32."""
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = (bits >> 23) - 127
+    m_bits = (bits & jnp.int32(0x7FFFFF)) | jnp.int32(0x3F800000)
+    m = jax.lax.bitcast_convert_type(m_bits, jnp.float32)  # [1, 2)
+    # reduce to [sqrt(2)/2, sqrt(2)) for a small series argument
+    big = m > jnp.float32(1.4142135)
+    m = jnp.where(big, m * jnp.float32(0.5), m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    # z = (m-1)/(m+1) in double-float. m-1 is exact (Sterbenz); m+1 is NOT —
+    # the ulp doubles crossing 2.0, so carry the denominator as an exact
+    # two_sum pair or the whole quotient inherits its ~2^-25 rounding.
+    num = m - jnp.float32(1.0)
+    den_h, den_l = _two_sum(m, jnp.float32(1.0))
+    y0 = 1.0 / den_h
+    zh, zl = _two_prod(num, y0)
+    # refine: correction = (num - den*z) * y0
+    dz_h, dz_l = _dd_mul_f(den_h, jnp.zeros_like(den_h), zh)
+    corr = ((num - dz_h) - dz_l - den_h * zl - den_l * zh) * y0
+    zh, zl = _fast_two_sum(zh, zl + corr)
+    # s = z^2 in dd; atanh series: z * (1 + s/3 + s^2/5 + ...)
+    sh, sl = _dd_mul(zh, zl, zh, zl)
+    th, tl = jnp.ones_like(zh) / (2 * _N_TERMS + 1), jnp.zeros_like(zh)
+    for k in range(_N_TERMS - 1, -1, -1):
+        th, tl = _dd_mul(th, tl, sh, sl)
+        th, tl = _dd_add(th, tl, jnp.float32(1.0 / (2 * k + 1)),
+                         jnp.zeros_like(th))
+    # ln(m) = 2 z * series
+    lh, ll = _dd_mul(zh, zl, th, tl)
+    lh, ll = _dd_mul_f(lh, ll, jnp.float32(2.0))
+    # log2(m) = ln(m) / ln(2): multiply by 1/ln2 in dd
+    inv_ln2_h = jnp.float32(1.4426950216293335)
+    inv_ln2_l = jnp.float32(1.9259629911266175e-08)
+    qh, ql = _dd_mul(lh, ll, jnp.broadcast_to(inv_ln2_h, lh.shape),
+                     jnp.broadcast_to(inv_ln2_l, lh.shape))
+    # + e (exact integer-valued f32)
+    rh, rl = _dd_add(qh, ql, e, jnp.zeros_like(e))
+    return rh + rl
