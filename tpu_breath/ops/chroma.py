@@ -62,15 +62,11 @@ def piptrack(S: jax.Array, sr: float, n_fft: int, fmin: float = 150.0,
 
 
 def _masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
-    """np.median over values[mask] (0.0 if the mask is empty)."""
-    flat_v = values.ravel()
-    flat_m = mask.ravel()
-    k = jnp.sum(flat_m)
-    sorted_v = jnp.sort(jnp.where(flat_m, flat_v, jnp.inf))
-    lo = jnp.maximum((k - 1) // 2, 0)
-    hi = jnp.maximum(k // 2, 0)
-    med = 0.5 * (sorted_v[lo] + sorted_v[hi])
-    return jnp.where(k > 0, med, 0.0)
+    """np.median over values[mask] (0.0 if empty), sort-free via radix
+    select (ops/select.py): XLA's TPU sort of the [F*T] magnitude array
+    cost more than the rest of the tuning estimate combined."""
+    from tpu_breath.ops import select
+    return select.masked_median(values, mask)
 
 
 def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,

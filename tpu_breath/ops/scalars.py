@@ -153,13 +153,12 @@ def _kurtosis(x: jax.Array) -> jax.Array:
     return m4 / jnp.maximum(m2, 1e-30) ** 2 - 3.0
 
 
-def _percentile(x_sorted: jax.Array, q: float) -> jax.Array:
-    """np.percentile (linear interpolation) given pre-sorted last axis."""
-    n = x_sorted.shape[-1]
-    pos = q / 100.0 * (n - 1)
-    lo = int(np.floor(pos))
-    frac = pos - lo
-    return x_sorted[..., lo] * (1 - frac) + x_sorted[..., min(lo + 1, n - 1)] * frac
+def _vmap_leading(fn, x: jax.Array, *args):
+    """vmap a 1-D-last-axis function over all leading axes of x."""
+    f = lambda v: fn(v, *args)
+    for _ in range(x.ndim - 1):
+        f = jax.vmap(f)
+    return f(x)
 
 
 def _mstd(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -235,9 +234,12 @@ def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
     xm, xs = _mstd(flux)
     feats += [low_ratio, xm, xs, jnp.max(flux, axis=-1)]
 
-    abs_sorted = jnp.sort(jnp.abs(y), axis=-1)
-    feats += [_skew(y), _kurtosis(y),
-              _percentile(abs_sorted, 90), _percentile(abs_sorted, 10)]
+    # percentiles via radix select, not a [16000] sort (ops/select.py)
+    from tpu_breath.ops import select
+    abs_y = jnp.abs(y)
+    p90 = _vmap_leading(select.percentile, abs_y, 90)
+    p10 = _vmap_leading(select.percentile, abs_y, 10)
+    feats += [_skew(y), _kurtosis(y), p90, p10]
 
     ac = dft.autocorr_full(y)
     ac = ac / ac[..., :1]
