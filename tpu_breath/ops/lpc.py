@@ -70,9 +70,11 @@ def lpc_features(y: jax.Array, order: int, sr: int = 16_000) -> jax.Array:
     frame_length = int(0.025 * sr)
     frame_shift = int(0.010 * sr)
     n = y.shape[-1]
-    starts = np.arange(0, n - frame_length, frame_shift)
-    idx = starts[:, None] + np.arange(frame_length)[None, :]
-    frames = y_emph[..., idx] * jnp.asarray(_hamming(frame_length))
+    n_frames = len(range(0, n - frame_length, frame_shift))
+    from tpu_breath.ops import spectral
+    frames = spectral.frame_signal(y_emph, frame_length, frame_shift,
+                                   n_frames)  # gather-free (gcd blocks)
+    frames = frames * jnp.asarray(_hamming(frame_length))
 
     fn = functools.partial(burg_lpc, order=order)
     for _ in range(frames.ndim - 1):

@@ -145,3 +145,45 @@ def find_peaks_stats(x: jax.Array, height: jax.Array, distance: int,
     alive0 = jnp.ones(k_max, bool)
     _, kept = lax.scan(body, alive0, jnp.arange(k_max))
     return _stats(kept, heights, x.dtype)
+
+
+def find_peaks_stats_batched(x: jax.Array, height: jax.Array, distance: int,
+                             use_pallas: bool | None = None):
+    """Batched find_peaks_stats: x[..., n], height[...] -> three [...] arrays.
+
+    use_pallas=True routes the greedy suppression rounds through the
+    VMEM-resident Pallas kernel (ops/pallas/peaks_kernel.py). It is
+    parity-exact (tests/test_pallas_peaks.py) but measured SLOWER than the
+    XLA loop on the v5e backend in every layout tried (per-clip grid 56 ms
+    vs 46, batched-block 257 ms vs 46, per 2,048 clips) — a 12x-unrolled
+    max microbenchmark showed both paths sit on the same per-chunk graph
+    overhead floor, so VMEM residency buys nothing here (RESULTS.md round-2
+    log). Default stays XLA; the kernel ships as a verified alternative."""
+    n = x.shape[-1]
+    rounds = n // max(distance, 1) + 2
+    if use_pallas is None:
+        use_pallas = False
+    if not use_pallas or distance <= 1 or rounds > 256:
+        fn = find_peaks_stats
+        for _ in range(x.ndim - 1):
+            fn = jax.vmap(fn, in_axes=(0, 0, None))
+        return fn(x, height, distance)
+    from tpu_breath.ops.pallas.peaks_kernel import suppress_peaks_pallas
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, n).astype(jnp.float32)
+    hf = jnp.broadcast_to(height, lead).reshape(-1)
+    lm = jax.vmap(local_maxima)(xf)
+    scores = jnp.where(lm & (xf >= hf[:, None]), xf, -jnp.inf)
+    vals, kept = suppress_peaks_pallas(scores, distance, rounds)
+    n_pk = jnp.sum(kept, axis=-1)
+    kh = jnp.where(kept, vals, 0.0)
+    mean_h = jnp.where(n_pk > 0,
+                       jnp.sum(kh, axis=-1) / jnp.maximum(n_pk, 1), 0.0)
+    var_h = jnp.where(
+        n_pk > 0,
+        jnp.sum(jnp.where(kept, (vals - mean_h[..., None]) ** 2, 0.0),
+                axis=-1) / jnp.maximum(n_pk, 1),
+        0.0)
+    std_h = jnp.where(n_pk > 1, jnp.sqrt(var_h), 0.0)
+    return (n_pk.astype(x.dtype).reshape(lead),
+            mean_h.reshape(lead), std_h.reshape(lead))

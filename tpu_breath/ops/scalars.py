@@ -210,10 +210,7 @@ def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
     env = dft.hilbert_envelope(y)
     em, es = _mstd(env)
     feats += [em, es, em / (es + 1e-8)]
-    pk_fn = peaks.find_peaks_stats
-    for _ in range(y.ndim - 1):
-        pk_fn = jax.vmap(pk_fn, in_axes=(0, 0, None))
-    n_pk, mean_pk, std_pk = pk_fn(env, em, sr // 10)
+    n_pk, mean_pk, std_pk = peaks.find_peaks_stats_batched(env, em, sr // 10)
     feats += [n_pk, mean_pk, std_pk]
 
     if stft512_mag is None:

@@ -33,22 +33,18 @@ def u32_to_f32(u: jax.Array) -> jax.Array:
 
 
 def rank_select_u32(keys: jax.Array, rank: jax.Array) -> jax.Array:
-    """Exact rank-th smallest (0-indexed) of 1-D uint32 keys by 4-pass radix
-    select; rank may be traced."""
-    prefix = jnp.zeros((), jnp.uint32)
-    bins = jnp.arange(256, dtype=jnp.uint32)
+    """Exact rank-th smallest (0-indexed) of 1-D uint32 keys by 32-step
+    binary descent: per bit (high to low), one masked count decides whether
+    the answer has that bit set — 32 compare+sum passes over the data total
+    (a 256-bin-per-byte histogram variant costs 32x this and loses to the
+    sort it replaces; measured on-chip). rank may be traced."""
     rank = rank.astype(jnp.int32)
-    for shift in (24, 16, 8, 0):
-        byte = (keys >> shift) & jnp.uint32(0xFF)
-        in_group = (keys >> (shift + 8)) == (prefix >> (shift + 8)) \
-            if shift < 24 else jnp.ones_like(keys, dtype=bool)
-        counts = jnp.sum((byte[None, :] == bins[:, None]) & in_group[None, :],
-                         axis=1, dtype=jnp.int32)
-        cum = jnp.cumsum(counts)
-        sel = jnp.searchsorted(cum, rank + 1, side="left").astype(jnp.int32)
-        sel = jnp.minimum(sel, 255)
-        prefix = prefix | (sel.astype(jnp.uint32) << shift)
-        rank = rank - jnp.where(sel > 0, cum[jnp.maximum(sel - 1, 0)], 0)
+    prefix = jnp.zeros((), jnp.uint32)
+    for bit in range(31, -1, -1):
+        cand = prefix | (jnp.uint32(1) << bit)
+        below = jnp.sum(keys < cand, dtype=jnp.int32)
+        # if fewer than rank+1 keys are < cand, the answer is >= cand
+        prefix = jnp.where(below <= rank, cand, prefix)
     return prefix
 
 

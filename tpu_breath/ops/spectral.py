@@ -39,18 +39,87 @@ def mel_matrix(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
 
 def frame_signal(y: jax.Array, frame_length: int, hop_length: int,
                  n_frames: int) -> jax.Array:
-    """y[..., n] -> [..., n_frames, frame_length] (time-major for matmul)."""
+    """y[..., n] -> [..., n_frames, frame_length] (time-major for matmul).
+
+    When hop divides the frame length (every STFT here: 512/256, 2048/256),
+    framing is hop-sized blocks re-viewed with k overlapping shifts — pure
+    reshape + slice + concat, ZERO gathers. The general case falls back to
+    an index gather, which XLA:TPU lowers ~10x slower."""
+    g = int(np.gcd(frame_length, hop_length))
+    if g >= 8:  # lane-friendly block width; g==1 cases keep the gather
+        k = frame_length // g       # blocks per frame
+        s = hop_length // g         # block stride between frames
+        nb = (n_frames - 1) * s + k
+        need = nb * g
+        n = y.shape[-1]
+        if need > n:
+            pad = [(0, 0)] * (y.ndim - 1) + [(0, need - n)]
+            y = jnp.pad(y, pad)
+        blocks = y[..., :need].reshape(*y.shape[:-1], nb, g)
+        stop = (n_frames - 1) * s + 1
+        return jnp.concatenate(
+            [blocks[..., j:j + stop:s, :] for j in range(k)], axis=-1)
     idx = (np.arange(n_frames)[:, None] * hop_length
            + np.arange(frame_length)[None, :])
     return y[..., idx]
 
 
+@functools.lru_cache(maxsize=None)
+def _blockdft_consts(n_fft: int, hop: int, window: str) -> np.ndarray:
+    """Stacked per-block windowed DFT bases for the shifted-block STFT:
+    [hop, k*2*F] where k = n_fft//hop, F = n_fft//2+1; block j's columns are
+    (C | -S) rows j*hop:(j+1)*hop of the window-folded real-DFT basis."""
+    k = n_fft // hop
+    f = n_fft // 2 + 1
+    kk = np.arange(n_fft)[:, None]
+    ff = np.arange(f)[None, :]
+    ang = 2.0 * np.pi * kk * ff / n_fft
+    c, s = np.cos(ang), -np.sin(ang)
+    if window == "hann":
+        w = _oracle.hann(n_fft, True)[:, None]
+        c, s = c * w, s * w
+    parts = []
+    for j in range(k):
+        parts.append(c[j * hop:(j + 1) * hop])
+        parts.append(s[j * hop:(j + 1) * hop])
+    return np.concatenate(parts, axis=1).astype(np.float32)
+
+
 def stft_ri(y: jax.Array, n_fft: int, hop_length: int,
             window: str = "hann") -> tuple[jax.Array, jax.Array]:
     """librosa.stft semantics (center=True, zero pad, periodic hann).
-    y[..., n] -> (re, im) each [..., 1 + n//hop, n_fft//2 + 1], time-major."""
+    y[..., n] -> (re, im) each [..., 1 + n//hop, n_fft//2 + 1], time-major.
+
+    When hop divides n_fft, computed as a shifted-block DFT: the signal is
+    viewed as hop-sized blocks (a reshape, no frame materialization or
+    gather), ONE [nb, hop] x [hop, k*2F] GEMM produces every block's partial
+    response, and D[t] = sum_j partial[t+j, block j] — k static slices + adds.
+    Identical FLOPs to the framed matmul, none of the frame traffic."""
     n = y.shape[-1]
     n_frames = 1 + n // hop_length
+    k = n_fft // hop_length if n_fft % hop_length == 0 else 0
+    f_bins = n_fft // 2 + 1
+    # k<=4: beyond that the stacked basis grows k-fold and loses to the
+    # Cooley-Tukey framed path (measured: n_fft 2048 / hop 256, k=8, was 3x
+    # slower via blocks)
+    if 1 <= k <= 4:
+        nb = n_frames - 1 + k
+        need = nb * hop_length
+        lead = n_fft // 2
+        pad = [(0, 0)] * (y.ndim - 1) + [(lead, max(0, need - n - lead))]
+        ypad = jnp.pad(y, pad)[..., :need]
+        blocks = ypad.reshape(*y.shape[:-1], nb, hop_length)
+        big = jnp.asarray(_blockdft_consts(n_fft, hop_length, window))
+        prod = _mm(blocks, big)  # [..., nb, k*2F]
+        re = jnp.zeros((*y.shape[:-1], n_frames, f_bins), jnp.float32)
+        im = jnp.zeros_like(re)
+        for j in range(k):
+            sl = prod[..., j:j + n_frames, 2 * j * f_bins:(2 * j + 1) * f_bins]
+            re = re + sl
+            sl = prod[..., j:j + n_frames,
+                      (2 * j + 1) * f_bins:(2 * j + 2) * f_bins]
+            im = im + sl
+        return re, im
     pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     ypad = jnp.pad(y, pad)
     frames = frame_signal(ypad, n_fft, hop_length, n_frames)
