@@ -88,10 +88,18 @@ def extract_features(y: jax.Array,
     chroma_c = _pads(_zn_rows(chroma_all), spec)
 
     # --- "gammatone" = 64-band mel filterbank on |STFT| + log1p
-    # (methods.py:136-140; discrepancy D9)
+    # (methods.py:136-140; discrepancy D9). This channel's z-score divides by
+    # a std of ~0.005 on quiet clips, amplifying rounding ~200x past the 1e-3
+    # parity budget, so every stage runs at double-float accuracy: the DFT
+    # and filterbank product through the compensated GEMM (ops/dd.matmul_dd,
+    # |S| err 1e-6 / product err 2e-8 measured on-chip) and log1p through
+    # dd.log1p_cr (the backend's native log1p is ~100 ulp off, which was the
+    # dominant term: 2.3e-5 pre-norm -> 5.5e-3 post-norm).
+    from tpu_breath.ops import dd as dd_ops
+    gt_mag = spectral.stft_mag_dd(y, n_fft, hop)  # [..., F, T]
     gt_fb = jnp.asarray(spectral.mel_matrix(sr, n_fft, spec.n_gammatone))
-    gt = jnp.log1p(jnp.einsum("gf,...ft->...gt", gt_fb, stft512,
-                              precision=spectral.MM_PRECISION))
+    gt = dd_ops.log1p_cr(
+        dd_ops.matmul_dd(gt_mag.swapaxes(-1, -2), gt_fb.T).swapaxes(-1, -2))
     gt_c = _pads(_zn(gt), spec)
 
     # --- Burg LPC (methods.py:116-134): [12, 98], z-normed then truncated

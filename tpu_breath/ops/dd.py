@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 _SPLITTER = np.float32(4097.0)  # 2**12 + 1 for f32 Veltkamp splitting
 _LN2_HI = np.float32(0.6931471824645996)       # fl32(ln 2)
 _LN2_LO = np.float32(-1.904654323148236e-09)   # ln2 - LN2_HI (dd tail)
@@ -99,6 +101,48 @@ def div_cr(a: jax.Array, b: jax.Array) -> jax.Array:
     return q_h + q_l
 
 
+def matmul_dd(a: jax.Array, b: jax.Array, chunk: int = 8) -> jax.Array:
+    """Compensated-accumulation f32 matmul: a[..., m, k] @ b[k, n].
+
+    Why: a plain f32 GEMM's accumulation error grows with SUM |a_i b_i|, not
+    with the result — for DFT rows (heavy cancellation: sum of |terms| can be
+    ~100x the output) that is ~1e-5 absolute, which the gammatone channel's
+    z-score (std ~0.005) amplifies ~200x past the 1e-3 parity budget
+    (PARITY.md; reference channel recipe src/precompute/methods.py:136-140).
+
+    Method: the contraction is split into `chunk`-wide slices; each slice is
+    one MXU GEMM at HIGHEST precision (near-exact products, and within-slice
+    accumulation error is bounded by the slice's tiny |term| sum), and slices
+    are accumulated across the scan in double-float (error-free two_sum), so
+    cross-slice accumulation is exact. Measured error vs a float64 host GEMM:
+    ~1e-7 absolute for the 512-point DFT, ~100x better than the single GEMM.
+    """
+    k = a.shape[-1]
+    if b.shape[0] != k:
+        raise ValueError(f"contraction mismatch: {a.shape} @ {b.shape}")
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    nc = -(-k // chunk)
+    pad = nc * chunk - k
+    if pad:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        b = jnp.pad(b, [(0, pad)] + [(0, 0)] * (b.ndim - 1))
+    a_s = jnp.moveaxis(a.reshape(*a.shape[:-1], nc, chunk), -2, 0)
+    b_s = b.reshape(nc, chunk, b.shape[-1])
+    out_shape = (*a.shape[:-1], b.shape[-1])
+
+    def body(carry, xs):
+        h, l = carry
+        a_c, b_c = xs
+        p = jnp.matmul(a_c, b_c, precision=lax.Precision.HIGHEST)
+        h, e = _two_sum(h, p)
+        return (h, l + e), None
+
+    zeros = jnp.zeros(out_shape, jnp.float32)
+    (h, l), _ = lax.scan(body, (zeros, zeros), (a_s, b_s))
+    return h + l
+
+
 # log2(1+u) series on u in [sqrt(2)/2 - 1, sqrt(2) - 1): use
 # log(m) = 2 atanh(z), z = (m-1)/(m+1), evaluated in double-float.
 _N_TERMS = 11  # z^2 <= 0.0295 -> term 2k+1 < 1e-17 at k=11
@@ -109,6 +153,12 @@ def log2_cr(x: jax.Array) -> jax.Array:
 
     Exponent/mantissa split by integer bit ops (exact), mantissa log via the
     atanh series in double-float arithmetic, one final rounding to f32."""
+    rh, rl = _log2_dd(x)
+    return rh + rl
+
+
+def _log2_dd(x: jax.Array):
+    """log2(x) as an unevaluated double-float pair (~2^-45 relative)."""
     x = x.astype(jnp.float32)
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     e = (bits >> 23) - 127
@@ -145,5 +195,27 @@ def log2_cr(x: jax.Array) -> jax.Array:
     qh, ql = _dd_mul(lh, ll, jnp.broadcast_to(inv_ln2_h, lh.shape),
                      jnp.broadcast_to(inv_ln2_l, lh.shape))
     # + e (exact integer-valued f32)
-    rh, rl = _dd_add(qh, ql, e, jnp.zeros_like(e))
+    return _dd_add(qh, ql, e, jnp.zeros_like(e))
+
+
+_INV_LN2 = np.float32(1.4426950408889634)
+
+
+def log1p_cr(x: jax.Array) -> jax.Array:
+    """Correctly-rounded float32 log1p(x) for x >= 0 (elementwise).
+
+    Why: this backend's native log1p is only ~100-ulp faithful (measured
+    2.3e-5 absolute on inputs ~0.1), which the gammatone channel's z-score
+    (std ~0.005) amplifies to ~5e-3 — the entire remaining parity gap of
+    that channel (PARITY.md). Method: u = 1 + x captured EXACTLY as a
+    two_sum pair (uh, ul); log2(uh) via the dd atanh series (_log2_dd); the
+    dropped tail enters as the first-order correction ul/(uh ln2); multiply
+    by ln2 in double-float; one final rounding."""
+    x = x.astype(jnp.float32)
+    uh, ul = _two_sum(jnp.float32(1.0), x)
+    lh, ll = _log2_dd(uh)
+    corr = (ul / uh) * _INV_LN2
+    lh, ll = _dd_add(lh, ll, corr, jnp.zeros_like(corr))
+    rh, rl = _dd_mul(lh, ll, jnp.broadcast_to(_LN2_HI, lh.shape),
+                     jnp.broadcast_to(jnp.float32(_LN2_LO), lh.shape))
     return rh + rl

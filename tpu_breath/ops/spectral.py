@@ -128,6 +128,40 @@ def stft_ri(y: jax.Array, n_fft: int, hop_length: int,
     return dft.rdft(frames, n_fft)
 
 
+@functools.lru_cache(maxsize=None)
+def _framedft_consts(n_fft: int, window: str) -> np.ndarray:
+    """Window-folded real-DFT basis [n_fft, 2F] = (w*C | -w*S), float64-built
+    then rounded once to f32. Folding the window into the basis keeps the
+    frames themselves exact (raw signal values), so a compensated GEMM sees
+    error-free inputs."""
+    kk = np.arange(n_fft)[:, None]
+    ff = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * kk * ff / n_fft
+    c, s = np.cos(ang), -np.sin(ang)
+    if window == "hann":
+        w = _oracle.hann(n_fft, True)[:, None]
+        c, s = c * w, s * w
+    return np.concatenate([c, s], axis=1).astype(np.float32)
+
+
+def stft_mag_dd(y: jax.Array, n_fft: int, hop_length: int,
+                chunk: int = 8) -> jax.Array:
+    """|STFT| via the compensated GEMM (dd.matmul_dd): ~100x lower absolute
+    error than the MXU block-DFT, for channels whose normalization amplifies
+    matmul rounding past the parity budget (the gammatone z-score, PARITY.md).
+    Layout [..., F, T] like stft_mag."""
+    from tpu_breath.ops import dd
+    n = y.shape[-1]
+    n_frames = 1 + n // hop_length
+    f_bins = n_fft // 2 + 1
+    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    frames = frame_signal(jnp.pad(y, pad), n_fft, hop_length, n_frames)
+    basis = jnp.asarray(_framedft_consts(n_fft, "hann"))
+    ri = dd.matmul_dd(frames, basis, chunk=chunk)  # [..., T, 2F]
+    re, im = ri[..., :f_bins], ri[..., f_bins:]
+    return jnp.sqrt(re * re + im * im).swapaxes(-1, -2)
+
+
 def stft_mag(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
     """|STFT|, layout [..., F, T] to mirror librosa."""
     re, im = stft_ri(y, n_fft, hop_length)
