@@ -3,8 +3,9 @@
 Replaces librosa.feature.chroma_stft as used by the reference
 (src/precompute/process.py:52). The pitch-track -> residual-histogram tuning
 estimate is fully static-shaped: candidate masks replace librosa's dynamic
-index arrays, the masked median is a sort+gather, and the 100-bin histogram is
-a scatter-add. The chroma filterbank depends on the traced tuning scalar only
+index arrays, the masked median is a radix select, and the 100-bin histogram
+is a compare-reduce against np.histogram's exact bin edges. The chroma
+filterbank depends on the traced tuning scalar only
 as a shift of the log-frequency bins, so it is rebuilt per clip with cheap
 [12, n_fft] elementwise math.
 """
@@ -89,14 +90,15 @@ def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,
     residual = jnp.mod(bins_per_octave * octs, 1.0)
     residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
     n_bins = int(np.ceil(1.0 / resolution))
-    bin_idx = jnp.clip(jnp.floor((residual + 0.5) * n_bins), 0, n_bins - 1
-                       ).astype(jnp.int32)
-    # histogram as a compare-and-reduce (scatter-add is slow on TPU)
-    flat_idx = bin_idx.ravel()
+    # histogram as a compare-and-reduce (scatter-add is slow on TPU), binned
+    # against the oracle's np.histogram edges (see _hist_edges_f32): bin b
+    # counts residuals in [edge_b, edge_{b+1}), identical to searchsorted
+    edges = jnp.asarray(_hist_edges_f32(n_bins))
+    flat_r = residual.ravel()
     flat_sel = sel.ravel()
-    counts = jnp.sum(
-        (flat_idx[None, :] == jnp.arange(n_bins, dtype=jnp.int32)[:, None])
-        & flat_sel[None, :], axis=1, dtype=jnp.int32)
+    ge = flat_r[None, :] >= edges[:, None]  # [n_bins+1, N]
+    counts = jnp.sum(ge[:-1] & ~ge[1:] & flat_sel[None, :],
+                     axis=1, dtype=jnp.int32)
     best = jnp.argmax(counts).astype(jnp.int32)
     # empty candidate set -> tuning 0.0 -> the index of bin edge 0.0
     return jnp.where(jnp.sum(sel) > 0, best, jnp.int32(n_bins // 2))
@@ -108,6 +110,21 @@ def estimate_tuning(S: jax.Array, sr: float, n_fft: int,
     """librosa.estimate_tuning(S=...) -> scalar tuning in [-0.5, 0.5) bins."""
     best = estimate_tuning_index(S, sr, n_fft, bins_per_octave, resolution)
     return -0.5 + best.astype(jnp.float32) * resolution
+
+
+@functools.lru_cache(maxsize=None)
+def _hist_edges_f32(n_bins: int) -> np.ndarray:
+    """np.histogram bin edges over [-0.5, 0.5], adjusted so f32-vs-f64
+    comparisons agree: the oracle (dsp_np.pitch_tuning, matching librosa)
+    bins with float64 linspace edges; for a float32 residual r,
+    r >= edge_f64 iff r >= (smallest f32 >= edge_f64), so comparing against
+    these rounded-up edges makes the device bin assignment IDENTICAL to
+    np.histogram's — no flip window at bin boundaries."""
+    edges = np.linspace(-0.5, 0.5, n_bins + 1)
+    e32 = edges.astype(np.float32)
+    low = e32.astype(np.float64) < edges
+    e32[low] = np.nextafter(e32[low], np.float32(np.inf))
+    return e32
 
 
 @functools.lru_cache(maxsize=None)
