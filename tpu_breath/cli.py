@@ -120,11 +120,13 @@ def _train_one(arch: str, cfg: TrainCfg, tr, va, y_tr, y_va, paths: Paths,
                       resume=resume, fused_spec=fused_spec)
     display.print_success(f"{arch} best val acc {result.best_val_acc:.4f} "
                           f"@ {result.best_ckpt_path}")
-    # persist history for observability
-    os.makedirs(save_dir, exist_ok=True)
-    with open(os.path.join(save_dir, "history.jsonl"), "w") as f:
-        for row in result.history:
-            f.write(json.dumps(row) + "\n")
+    # persist history for observability (primary process only under multi-host)
+    import jax
+    if jax.process_index() == 0:
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "history.jsonl"), "w") as f:
+            for row in result.history:
+                f.write(json.dumps(row) + "\n")
     return result
 
 

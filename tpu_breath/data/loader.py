@@ -22,10 +22,15 @@ import jax
 
 
 def batch_indices(n: int, batch_size: int, rng: np.random.Generator,
-                  shuffle: bool = True, drop_last: bool = True
-                  ) -> Iterator[np.ndarray]:
+                  shuffle: bool = True, drop_last: bool = True,
+                  max_batches: int | None = None) -> Iterator[np.ndarray]:
+    """max_batches caps the epoch's batch count — required under multi-host
+    SPMD, where every process must execute the same number of collective
+    steps even when host_shard() gave it a larger shard."""
     order = rng.permutation(n) if shuffle else np.arange(n)
     end = (n // batch_size) * batch_size if drop_last else n
+    if max_batches is not None:
+        end = min(end, max_batches * batch_size)
     for lo in range(0, end, batch_size):
         yield order[lo: lo + batch_size]
 
@@ -78,13 +83,15 @@ def host_shard(n: int, host_id: int | None = None,
 
 def stream_batches(arrays: Sequence[np.ndarray], batch_size: int,
                    rng: np.random.Generator, depth: int = 2, sharding=None,
-                   shuffle: bool = True, drop_last: bool = True):
+                   shuffle: bool = True, drop_last: bool = True,
+                   max_batches: int | None = None):
     """Convenience: shuffled, prefetched batch stream over parallel arrays
     (e.g. features, scalars, labels) that live on host (possibly memmapped)."""
     n = len(arrays[0])
 
     def gen():
-        for idx in batch_indices(n, batch_size, rng, shuffle, drop_last):
+        for idx in batch_indices(n, batch_size, rng, shuffle, drop_last,
+                                 max_batches):
             yield tuple(np.ascontiguousarray(a[idx]) for a in arrays)
 
     return Prefetcher(gen(), depth=depth, sharding=sharding)

@@ -41,7 +41,11 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def initialize_distributed() -> None:
-    """Multi-host entry (no-op on a single host)."""
+    """Multi-host entry: no-op on a single host or when the launcher already
+    called jax.distributed.initialize (e.g. tests/mp_worker.py)."""
     import os
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        return
     if "JAX_COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()

@@ -23,11 +23,16 @@ def _dir(save_dir: str, epoch: int) -> str:
 def save(save_dir: str, state, epoch: int, metadata: dict) -> str:
     os.makedirs(save_dir, exist_ok=True)
     path = _dir(save_dir, epoch)
+    # Multi-process: every process calls save with the SAME path (Orbax's
+    # coordinated protocol — host-numpy values are written by the primary
+    # only); side files are primary-only.
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "metadata.json"), "w") as f:
-        json.dump({"epoch": epoch, **{k: float(v) for k, v in metadata.items()}}, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump({"epoch": epoch,
+                       **{k: float(v) for k, v in metadata.items()}}, f)
     return path
 
 

@@ -211,6 +211,10 @@ def make_eval_step(model, mesh=None):
             batch_f, batch_s, train=False)
         return logits.astype(jnp.float32)
 
+    if mesh is not None:
+        # replicate the logits so every process can materialize them on host
+        # (a batch-sharded output is not addressable cross-process)
+        return jax.jit(eval_fn, out_shardings=mesh_lib.replicated(mesh))
     return jax.jit(eval_fn)
 
 
@@ -269,7 +273,13 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         from tpu_breath.data import loader as loader_mod
         n_proc = jax.process_count()
         if cfg.batch_size % mesh.size:
-            raise ValueError("batch_size must divide the mesh size")
+            raise ValueError(
+                f"batch_size ({cfg.batch_size}) must be a multiple of the "
+                f"mesh size ({mesh.size})")
+        if cfg.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size ({cfg.batch_size}) must be a multiple of the "
+                f"process count ({n_proc})")
         shard = loader_mod.host_shard(n_train)
         feats_host = np.asarray(train_store[0])[shard]
         scals_host = (np.zeros((len(feats_host), 0), np.float32)
@@ -277,7 +287,13 @@ def fit(model, train_store, val_store, train_labels, val_labels,
                       else np.asarray(train_store[1])[shard])
         labels_host = np.asarray(train_labels, np.float32)[shard]
         local_batch = cfg.batch_size // n_proc
-        steps_per_epoch = len(feats_host) // local_batch
+        # Every process must execute the SAME number of collective steps or
+        # the SPMD program desyncs: host_shard's ceil split gives the last
+        # process the smallest shard, so the step count is the global
+        # minimum, and stream_batches caps each process at that count.
+        per_host = -(-n_train // n_proc)
+        min_shard = n_train - (n_proc - 1) * per_host
+        steps_per_epoch = min_shard // local_batch
         data_sharding = mesh_lib.data_sharding(mesh)
         sample_f, sample_s = feats_host[:2], scals_host[:2]
         sample_y = jnp.asarray(labels_host[:2])
@@ -321,22 +337,35 @@ def fit(model, train_store, val_store, train_labels, val_labels,
                                      fused_spec=fused_spec)
     eval_step = make_eval_step(model, mesh)
 
+    # Resume is FAITHFUL: per-epoch randomness is derived statelessly from
+    # (seed, epoch) below, and the best checkpoint's metadata restores the
+    # early-stop bookkeeping exactly as it stood when that checkpoint was
+    # written (best save => counter 0, best metrics = that epoch's). Replaying
+    # any epochs after the checkpoint is deterministic, so a resumed run's
+    # history equals the uninterrupted run's (tests/test_train.py).
     start_epoch = 0
-    if resume and save_dir and ckpt_lib.latest_checkpoint(save_dir):
-        state, start_epoch = ckpt_lib.restore_latest(save_dir, state)
-        log_fn(f"resumed from epoch {start_epoch}")
-
     best_val_acc, best_val_loss = 0.0, float("inf")
     best_state, best_ckpt = state, None
+    if resume and save_dir and ckpt_lib.latest_checkpoint(save_dir):
+        state, start_epoch = ckpt_lib.restore_latest(save_dir, state)
+        best_ckpt = ckpt_lib.latest_checkpoint(save_dir)
+        meta = ckpt_lib.load_metadata(best_ckpt)
+        best_val_acc = float(meta.get("val_acc", 0.0))
+        best_val_loss = float(meta.get("val_loss", float("inf")))
+        best_state = state
+        log_fn(f"resumed from epoch {start_epoch} "
+               f"(best val acc {best_val_acc:.4f})")
     early_stop = 0
     history: list[dict] = []
-    perm_rng = np.random.default_rng(cfg.seed + 1)
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         use_aug = jnp.asarray(epoch >= cfg.warmup_epochs)
-        rng, ekey = jax.random.split(rng)
-        keys = jax.random.split(ekey, steps_per_epoch)
+        # stateless per-epoch streams (resume-faithful; reference analogue is
+        # the stateful global np.random / torch RNG, src/train.py:72-89)
+        keys = jax.random.split(jax.random.fold_in(rng, epoch),
+                                steps_per_epoch)
+        perm_rng = np.random.default_rng([cfg.seed + 1, epoch])
         # Dispatch every step asynchronously and fetch the whole epoch's stats
         # with ONE host sync at the end: a device roundtrip costs ~35 ms on
         # this backend, so syncing per step would be latency-bound.
@@ -344,7 +373,8 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         if streaming:
             stream = loader_mod.stream_batches(
                 (feats_host, scals_host, labels_host), local_batch, perm_rng,
-                depth=2, sharding=data_sharding)
+                depth=2, sharding=data_sharding,
+                max_batches=steps_per_epoch)
             for s, (bf, bs, by) in enumerate(stream):
                 batch = Batch(bf, bs if fused_spec is None else None, by)
                 state, stats = train_step(state, batch, keys[s], use_aug)
