@@ -59,6 +59,21 @@ def _run(root, out, mesh):
         return [json.loads(line) for line in f]
 
 
+def _load_ckpt_tree(out):
+    import glob
+    import orbax.checkpoint as ocp
+    dirs = sorted(glob.glob(os.path.join(str(out), "checkpoints", "cnn8",
+                                         "best_epoch*")))
+    return {os.path.basename(d): ocp.StandardCheckpointer().restore(d)
+            for d in dirs}
+
+
+def _flat(tree) -> np.ndarray:
+    import jax
+    return np.concatenate([np.asarray(x).ravel()
+                           for x in jax.tree.leaves(tree)])
+
+
 def test_cli_train_mesh_matches_single(synth_root, tmp_path):
     h1 = _run(synth_root, tmp_path / "single", "off")
     h8 = _run(synth_root, tmp_path / "mesh8", "8")
@@ -68,9 +83,33 @@ def test_cli_train_mesh_matches_single(synth_root, tmp_path):
         # differs between layouts (documented Adam sign-fragility)
         assert abs(r1["train_loss"] - r8["train_loss"]) < 1e-3, (r1, r8)
         assert abs(r1["val_loss"] - r8["val_loss"]) < 1e-3, (r1, r8)
-        assert abs(r1["val_acc"] - r8["val_acc"]) <= 0.08, (r1, r8)
         assert r1["train_acc"] == r8["train_acc"]
         assert r1["lr"] == r8["lr"]
+
+    # Final-state equivalence (VERDICT r2 #7): both layouts must have saved
+    # checkpoints at the SAME epochs (identical improvement bookkeeping), and
+    # the final checkpoint's params/batch_stats must agree elementwise — a
+    # seeded cross-replica reduction bug of one batch-norm stat fails here,
+    # where a val-accuracy window could mask it.
+    c1, c8 = _load_ckpt_tree(tmp_path / "single"), _load_ckpt_tree(tmp_path / "mesh8")
+    assert set(c1) == set(c8) and c1, (sorted(c1), sorted(c8))
+    last = sorted(c1)[-1]
+    p1, p8 = _flat(c1[last]["params"]), _flat(c8[last]["params"])
+    # Adam sign-fragility bound (cf. test_parallel.py): a near-zero f32
+    # gradient whose sign depends on reduction order moves a full lr step.
+    # test_parallel bounds the fragile set at 0.1% after ONE step; this run
+    # takes 6 steps, so allow modest compounding (measured 0.11%) — a real
+    # cross-replica reduction bug mismatches a large fraction, not 0.3%.
+    mismatched = np.abs(p1 - p8) > 1e-4
+    assert mismatched.mean() < 3e-3, mismatched.mean()
+    assert np.max(np.abs(p1 - p8)) < 3 * 4e-4 * 2  # 2 epochs of cnn8 lr
+    b1, b8 = _flat(c1[last]["batch_stats"]), _flat(c8[last]["batch_stats"])
+    # batch stats are EMAs of ACTIVATION reductions, so they inherit the
+    # sign-fragile param drift (measured <=6e-3 rel after 6 steps). A real
+    # cross-replica reduction bug (e.g. one device's contribution dropped)
+    # shifts a stat by ~1/8 = 0.125 relative on an 8-device mesh — an order
+    # of magnitude above this tolerance.
+    np.testing.assert_allclose(b1, b8, rtol=2e-2, atol=2e-2)
 
 
 def test_cli_mesh_flag_default_auto():
