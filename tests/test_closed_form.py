@@ -1,0 +1,143 @@
+"""Oracle-independence probes (VERDICT r2 #8).
+
+Every parity test elsewhere compares the device graph against the NumPy
+oracle (baseline/dsp_np.py) — but the device path shares trace-time
+CONSTANTS with that oracle (mel filterbank, CQT wavelet FFTs), so a
+systematic error in a shared constant is invisible to those tests. This file
+breaks the coupling two ways:
+
+1. An INDEPENDENT from-scratch derivation of the Slaney mel filterbank
+   (written directly from the Auditory-Toolbox mel-scale definition, no code
+   shared with dsp_np.mel_filterbank) must match the shared constant.
+2. CLOSED-FORM probes: pure tones whose STFT/mel/chroma/CQT responses are
+   known analytically (exact-bin Hann-window DFT values) or structurally
+   (argmax at the tone's pitch class / CQT bin), checked against the DEVICE
+   graph directly — the oracle never enters.
+
+Reference numerics contract: librosa 0.10.2 (reference env.yaml:156) as
+consumed by src/precompute/process.py:32-78.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpu_breath.config import DEFAULT_FEATURES as SPEC
+from tpu_breath.ops import spectral, chroma as ch_ops, cqt as cqt_ops
+from tpu_breath.baseline import dsp_np as oracle
+
+SR, NFFT, HOP = SPEC.sr, SPEC.n_fft, SPEC.hop_length
+
+
+# ------------------------------------------------- independent constants
+
+def _hz2mel_slaney(f):
+    f = np.asarray(f, np.float64)
+    return np.where(f >= 1000.0,
+                    15.0 + np.log(np.maximum(f, 1e-30) / 1000.0)
+                    * 27.0 / np.log(6.4),
+                    3.0 * f / 200.0)
+
+
+def _mel2hz_slaney(m):
+    m = np.asarray(m, np.float64)
+    return np.where(m >= 15.0,
+                    1000.0 * np.exp(np.log(6.4) * (m - 15.0) / 27.0),
+                    200.0 * m / 3.0)
+
+
+def mel_fb_independent(sr, n_fft, n_mels, fmin=0.0, fmax=None):
+    """Slaney-normalized triangular mel filterbank, derived from scratch:
+    mel scale linear below 1 kHz (3f/200), log above (step 27/ln 6.4 per
+    factor 6.4), triangles between successive mel-spaced edges, each scaled
+    by 2/(hi-lo). No code shared with dsp_np.mel_filterbank."""
+    fmax = sr / 2.0 if fmax is None else fmax
+    pts = _mel2hz_slaney(np.linspace(_hz2mel_slaney(fmin),
+                                     _hz2mel_slaney(fmax), n_mels + 2))
+    freqs = np.arange(1 + n_fft // 2, dtype=np.float64) * (sr / n_fft)
+    fb = np.zeros((n_mels, len(freqs)))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (freqs - lo) / (c - lo)
+        down = (hi - freqs) / (hi - c)
+        fb[m] = np.maximum(0.0, np.minimum(up, down)) * (2.0 / (hi - lo))
+    return fb
+
+
+@pytest.mark.parametrize("n_mels,fmax", [(128, 4500.0), (64, None)])
+def test_mel_filterbank_matches_independent_derivation(n_mels, fmax):
+    """The constant shared by the device graph and the oracle
+    (spectral.mel_matrix -> dsp_np.mel_filterbank) must equal a from-scratch
+    derivation — catches a systematic error in the shared code."""
+    shared = oracle.mel_filterbank(SR, NFFT, n_mels, 0.0, fmax)
+    indep = mel_fb_independent(SR, NFFT, n_mels, 0.0, fmax)
+    np.testing.assert_allclose(shared, indep, rtol=1e-9, atol=1e-12)
+
+
+# ---------------------------------------------------- closed-form probes
+
+def _tone(freq, amp=1.0, phase=0.7):
+    t = np.arange(SPEC.expected_len, dtype=np.float64) / SR
+    return (amp * np.cos(2 * np.pi * freq * t + phase)).astype(np.float32)
+
+
+def test_stft_pure_tone_hann_closed_form():
+    """Tone at an exact DFT bin k0: the periodic-Hann windowed DFT has
+    |X[k0]| = N/4, |X[k0 +/- 1]| = N/8, 0 elsewhere — for ANY phase (the
+    negative-frequency image is disjoint at k0=32). Checked on the DEVICE
+    stft (both the block-GEMM and compensated paths), interior frames."""
+    k0 = 32  # 1000 Hz
+    y = _tone(k0 * SR / NFFT)[None]
+    for fn in (spectral.stft_mag, spectral.stft_mag_dd):
+        mag = np.asarray(jax.jit(lambda x, f=fn: f(x, NFFT, HOP))(
+            jnp.asarray(y)))[0]  # [F, T]
+        interior = mag[:, 5:58]
+        np.testing.assert_allclose(interior[k0], NFFT / 4.0, rtol=2e-4)
+        np.testing.assert_allclose(interior[k0 - 1], NFFT / 8.0, rtol=2e-4)
+        np.testing.assert_allclose(interior[k0 + 1], NFFT / 8.0, rtol=2e-4)
+        side = np.delete(interior, [k0 - 1, k0, k0 + 1], axis=0)
+        assert np.max(side) < NFFT / 4.0 * 1e-3, np.max(side)
+
+
+def test_melspectrogram_tone_closed_form():
+    """Mel POWER of the exact-bin tone = fb[:,k0]*(N/4)^2 + (fb[:,k0-1] +
+    fb[:,k0+1])*(N/8)^2, with fb the INDEPENDENT filterbank — validates the
+    device mel path end-to-end with no shared constant in the expectation."""
+    k0 = 32
+    y = _tone(k0 * SR / NFFT)[None]
+    mel = np.asarray(jax.jit(
+        lambda x: spectral.melspectrogram(x, SR, NFFT, HOP, SPEC.n_mels,
+                                          fmax=SPEC.fmax))(jnp.asarray(y)))[0]
+    fb = mel_fb_independent(SR, NFFT, SPEC.n_mels, 0.0, SPEC.fmax)
+    expect = (fb[:, k0] * (NFFT / 4.0) ** 2
+              + (fb[:, k0 - 1] + fb[:, k0 + 1]) * (NFFT / 8.0) ** 2)
+    got = mel[:, 5:58]
+    scale = np.max(expect)
+    for t in range(got.shape[1]):
+        np.testing.assert_allclose(got[:, t] / scale, expect / scale,
+                                   atol=5e-4)
+
+
+def test_chroma_tone_lands_on_pitch_class():
+    """440 Hz (A4) and 523.25 Hz (C5) tones: the device chroma_stft's argmax
+    row at every interior frame must be the tone's pitch class (librosa row
+    order starts at C: C=0 ... A=9)."""
+    for freq, pc in ((440.0, 9), (523.2511306011972, 0)):
+        y = _tone(freq)[None]
+        ch = np.asarray(jax.jit(
+            lambda x: ch_ops.chroma_stft(
+                spectral.stft_mag(x, NFFT, HOP), SR))(jnp.asarray(y)))[0]
+        assert (ch[:, 5:58].argmax(axis=0) == pc).all(), freq
+
+
+def test_cqt_tone_lands_on_its_bin():
+    """A C4 tone (fmin * 2^3) peaks at CQT bin 3*36=108 (36 bins/octave,
+    fmin=C1) on the device multirate CQT, every interior frame."""
+    freq = SPEC.cqt_fmin * 8.0  # C4
+    y = _tone(freq)[None]
+    tuning_idx = jnp.full((1,), 50, jnp.int32)  # tuning 0.0
+    cq = np.asarray(jax.jit(
+        lambda x: cqt_ops.cqt_mag_multirate(
+            x, tuning_idx, SR, HOP, SPEC.cqt_fmin,
+            SPEC.cqt_bins_per_octave, SPEC.cqt_n_octaves))(jnp.asarray(y)))[0]
+    assert (cq[:, 10:50].argmax(axis=0) == 108).all()
