@@ -1,0 +1,105 @@
+"""Pallas kernel: the SURVEY §7.1 fused epilogue — filterbank·|STFT| + log1p
++ z-norm as ONE VMEM-resident kernel (the "gammatone" channel's epilogue,
+reference src/precompute/methods.py:136-140).
+
+The XLA path (features.py) runs this as a chunked compensated GEMM
+(ops/dd.matmul_dd: a 33-step lax.scan whose double-float carries round-trip
+through HBM), then dd.log1p_cr, then the z-score's four reduction kernels.
+Here each grid step loads one clip block's magnitudes into VMEM once and the
+whole chain — dd GEMM accumulation, correctly-rounded log1p, mean/std,
+normalize — reads and writes VMEM only. Numerics are IDENTICAL to the XLA
+path (same two_sum/two_prod double-float ops, same slice order), asserted by
+tests/test_pallas_epilogue.py, so an A/B is purely about fusion overhead
+(tools/pallas_epilogue_ab.py records the verdict either way).
+
+A `plain=True` variant (native f32 dot + jnp.log1p) exists to answer §7.1's
+original (pre-double-float) question like-for-like against the plain XLA
+subgraph.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_breath.ops import dd
+
+_SLICE = 8  # contraction slice width of the dd GEMM (matches dd.matmul_dd)
+_CLIPS_PER_BLOCK = 8
+
+
+def _epilogue_kernel(fb_ref, mag_ref, out_ref, *, n_slices: int, f_valid: int,
+                     plain: bool):
+    mag = mag_ref[...]  # [C, Fp, T]
+    fb = fb_ref[...]    # [G, Fp]
+
+    c, fp, t = mag.shape
+    g = fb.shape[0]
+    mag2 = mag.transpose(1, 0, 2).reshape(fp, c * t)  # [Fp, C*T]
+
+    if plain:
+        prod = jax.lax.dot(fb, mag2, precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        gt = jnp.log1p(prod)
+    else:
+        def body(i, carry):
+            h, l = carry
+            p = jax.lax.dot(
+                lax.dynamic_slice(fb, (0, i * _SLICE), (g, _SLICE)),
+                lax.dynamic_slice(mag2, (i * _SLICE, 0), (_SLICE, c * t)),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            h, e = dd._two_sum(h, p)
+            return h, l + e
+
+        zeros = jnp.zeros((g, c * t), jnp.float32)
+        h, l = lax.fori_loop(0, n_slices, body, (zeros, zeros))
+        gt = dd.log1p_cr(h + l)
+
+    gt = gt.reshape(g, c, t).transpose(1, 0, 2)  # [C, G, T]
+    mean = jnp.mean(gt, axis=(1, 2), keepdims=True)
+    var = jnp.mean((gt - mean) ** 2, axis=(1, 2), keepdims=True)
+    out_ref[...] = (gt - mean) / (jnp.sqrt(var) + 1e-8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def fused_epilogue(mag: jax.Array, fb: jax.Array, plain: bool = False,
+                   interpret: bool | None = None) -> jax.Array:
+    """mag[B, F, T] magnitudes, fb[G, F] filterbank ->
+    z-normed log1p(fb @ mag) [B, G, T], one clip block per grid step."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, f, t = mag.shape
+    g = fb.shape[0]
+    n_slices = -(-f // _SLICE)
+    fp = n_slices * _SLICE
+    if fp != f:  # zero-pad the contraction (zeros contribute nothing)
+        mag = jnp.pad(mag, ((0, 0), (0, fp - f), (0, 0)))
+        fb = jnp.pad(fb, ((0, 0), (0, fp - f)))
+    cb = _CLIPS_PER_BLOCK
+    bp = -(-b // cb) * cb
+    if bp != b:
+        mag = jnp.pad(mag, ((0, bp - b), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_epilogue_kernel, n_slices=n_slices,
+                               f_valid=f, plain=plain)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // cb,),
+        in_specs=[
+            pl.BlockSpec((g, fp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, fp, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, g, t), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, g, t), jnp.float32),
+        interpret=interpret,
+    )(fb, mag)
+    return out[:b]
