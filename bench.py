@@ -26,7 +26,9 @@ N_CLIPS = 2048
 CHUNK = 128
 TRAIN_BATCH = 512
 TRAIN_STEPS = 8
-BASELINE_CLIPS = 4
+# >=20 clips so the CPU-oracle denominator isn't hostage to per-clip variance
+# (tuning-estimation cost varies with peak count)
+BASELINE_CLIPS = 24
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
 
 
@@ -133,13 +135,20 @@ def main() -> None:
     fused_mfu = (step_flops * TRAIN_STEPS / fused_dt / V5E_PEAK_FLOPS
                  if step_flops else None)
 
+    # vs_baseline pairs with "value": fused clips/s over the CPU oracle's
+    # feature-only clips/s — conservative, since the fused step does strictly
+    # more work per clip (features + fwd/bwd/AdamW) than the oracle. The
+    # feature-only-vs-CPU ratio (the BASELINE.json >=50x north star) is
+    # reported separately as feature_vs_cpu_baseline.
     print(json.dumps({
         "metric": "fused wav->feature->train-step throughput (9-ch spectrogram stack + 36 scalars + CNN8 fwd/bwd/AdamW per 1s wav clip)",
         "value": round(fused_rate, 2),
         "unit": "clips/s",
-        "vs_baseline": round(feat_rate / cpu_rate, 2),
+        "vs_baseline": round(fused_rate / cpu_rate, 2),
         "feature_only_clips_per_s": round(feat_rate, 2),
+        "feature_vs_cpu_baseline": round(feat_rate / cpu_rate, 2),
         "cpu_oracle_clips_per_s": round(cpu_rate, 3),
+        "cpu_baseline_clips": BASELINE_CLIPS,
         "feature_mfu": round(feat_mfu, 4) if feat_mfu else None,
         "fused_train_mfu": round(fused_mfu, 4) if fused_mfu else None,
     }))

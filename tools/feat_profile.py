@@ -1,55 +1,98 @@
+"""Per-subgraph throughput profiler for the feature stack (one TPU chip).
+
+Times each named stage of the batched feature graph (chunked exactly like
+extract_features_batched) so regressions localize to an op. Consolidates the
+round-2 feat_profile{,2,3,4}.py iterations into one tool.
+
+Usage: PYTHONPATH=. python tools/feat_profile.py [stage ...]
+       (no args = all stages; see STAGES below)
+"""
+import glob
+import os
+import sys
 import time
-import numpy as np
-import jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
 from jax import lax
+
 from tpu_breath.config import DEFAULT_FEATURES as SPEC
-from tpu_breath.ops import spectral, chroma as ch_ops, cqt as cqt_ops
+from tpu_breath.ops import (spectral, cepstral, chroma as ch_ops,
+                            cqt as cqt_ops, dft, lpc as lpc_ops, rhythm,
+                            scalars as scalar_ops, peaks)
 from tpu_breath.features import extract_features
 from tpu_breath.data import wav as wav_io
-import glob
 
-paths = sorted(glob.glob("/root/reference/input/*/*.wav"))[:2048]
-wavs = wav_io.load_wav_batch(paths)
-x = jnp.asarray(wavs)
 B, CH = 2048, 128
-SR, HOP = SPEC.sr, SPEC.hop_length
+SR, HOP, NFFT = SPEC.sr, SPEC.hop_length, SPEC.n_fft
 
-def timed(name, fn):
-    j = jax.jit(fn)
-    float(j(x))  # compile+warm
-    t0 = time.perf_counter()
-    v = float(j(x))
-    dt = time.perf_counter() - t0
-    print(f"{name:28s} {B/dt:9.1f} clips/s  ({dt*1000:.0f} ms)")
-    return dt
 
-def chunked(f):
-    def g(w):
-        c = w.reshape(B // CH, CH, -1)
-        return jnp.sum(lax.map(lambda y: jnp.sum(f(y)), c))
-    return g
+def _mels(y):
+    db = spectral.power_to_db(
+        spectral.melspectrogram(y, SR, n_fft=NFFT, hop_length=HOP,
+                                n_mels=128, fmax=SPEC.fmax), ref_max=True)
+    return db + cepstral.delta(db, 1) + cepstral.delta(db, 2)
 
-def tuning_only(y):
+
+def _mfccs(y):
+    mf = cepstral.mfcc(y, SR, SPEC.n_mfcc, HOP, NFFT)
+    return mf + cepstral.delta(mf, 1) + cepstral.delta(mf, 2)
+
+
+def _tuning(y):
     s = spectral.stft_mag(y, 2048, HOP)[..., ::2]
-    fn = jax.vmap(lambda s1: ch_ops.estimate_tuning_index(s1, SR, 2048, 36))
-    return fn(s).astype(jnp.float32)
+    return jax.vmap(lambda s1: ch_ops.estimate_tuning_index(s1, SR, 2048, 36)
+                    )(s).astype(jnp.float32)
 
-def cqt_only(y):
-    idx = jnp.full(y.shape[:-1], 50, jnp.int32)
-    return cqt_ops.cqt_mag_multirate(y, idx, SR, HOP, SPEC.cqt_fmin, 36, 7)
 
-def cens_full(y):
-    return cqt_ops.chroma_cens(y, SR, HOP, SPEC.cqt_fmin)
+STAGES = {
+    "full": lambda y: sum(map(jnp.sum, extract_features(y, SPEC))),
+    "stft512": lambda y: spectral.stft_mag(y, NFFT, HOP),
+    "stft512_dd": lambda y: spectral.stft_mag_dd(y, NFFT, HOP),
+    "stft2048": lambda y: spectral.stft_mag(y, 2048, HOP),
+    "mel+deltas": _mels,
+    "mfcc+deltas": _mfccs,
+    "chroma_stft": lambda y: ch_ops.chroma_stft(
+        spectral.stft_mag(y, NFFT, HOP), SR),
+    "tuning36": _tuning,
+    "cens": lambda y: cqt_ops.chroma_cens(y, SR, HOP, SPEC.cqt_fmin),
+    "cqt": lambda y: cqt_ops.cqt_mag_multirate(
+        y, jnp.full(y.shape[:-1], 50, jnp.int32), SR, HOP, SPEC.cqt_fmin,
+        36, 7),
+    "lpc": lambda y: lpc_ops.lpc_features(y, SPEC.n_lpc, SR),
+    "tempogram": lambda y: rhythm.tempogram(
+        rhythm.onset_strength(y, SR, HOP), SPEC.tempogram_win_length),
+    "scalars": lambda y: scalar_ops.extract_scalars(y, SR, HOP, NFFT, 128),
+    "hilbert": dft.hilbert_envelope,
+    "autocorr": dft.autocorr_full,
+    "find_peaks": lambda y: jax.vmap(
+        lambda e: jnp.stack(peaks.find_peaks_stats(e, jnp.mean(e), SR // 10))
+    )(jnp.abs(y)),
+}
 
-def cqt_direct(y):
-    return cqt_ops.cqt_mag(y, SR, HOP, SPEC.cqt_fmin, 252, 36)
 
-def full(y):
-    f, s = extract_features(y, SPEC)
-    return jnp.sum(f) + jnp.sum(s)
+def main() -> None:
+    names = sys.argv[1:] or list(STAGES)
+    paths = sorted(glob.glob("/root/reference/input/*/*.wav"))[:B]
+    x = jnp.asarray(wav_io.load_wav_batch(paths))
 
-timed("full feature graph", chunked(lambda y: full(y)))
-timed("tuning estimate only", chunked(tuning_only))
-timed("multirate CQT only", chunked(cqt_only))
-timed("cens full (tuning+cqt)", chunked(cens_full))
-timed("direct CQT (old path)", chunked(cqt_direct))
+    for name in names:
+        f = STAGES[name]
+
+        def g(w, f=f):
+            c = w.reshape(B // CH, CH, -1)
+            return jnp.sum(lax.map(lambda y: jnp.sum(f(y)), c))
+
+        j = jax.jit(g)
+        float(j(x))  # compile + warm
+        t0 = time.perf_counter()
+        float(j(x))
+        dt = time.perf_counter() - t0
+        print(f"{name:14s} {B / dt:9.1f} clips/s ({dt * 1000:.0f} ms)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
