@@ -58,3 +58,46 @@ def test_epilogue_kernel_ragged_batch(real_clips):
     full = np.asarray(epilogue_kernel.fused_epilogue(_mags(real_clips), fb))
     part = np.asarray(epilogue_kernel.fused_epilogue(mag, fb))
     np.testing.assert_allclose(part, full[:3], atol=0, rtol=0)
+
+
+def test_fused_gammatone_matches_xla_dd_path(real_clips):
+    """The full-channel kernel (frames -> dd DFT -> |S| -> dd filterbank ->
+    log1p_cr -> z-norm) against the XLA double-float path it replaces in
+    features.py. Same slice order and two_sum chain -> tight tolerance."""
+    y = jnp.asarray(real_clips)
+    fb = jnp.asarray(spectral.mel_matrix(SPEC.sr, SPEC.n_fft,
+                                         SPEC.n_gammatone))
+
+    @jax.jit
+    def xla_path(x):
+        mag = spectral.stft_mag_dd(x, SPEC.n_fft, SPEC.hop_length)
+        gt = dd.log1p_cr(dd.matmul_dd(mag.swapaxes(-1, -2), fb.T
+                                      ).swapaxes(-1, -2))
+        return spectral.znorm(gt, axes=(-2, -1))
+
+    n_frames = 1 + y.shape[-1] // SPEC.hop_length
+    yp = jnp.pad(y, ((0, 0), (SPEC.n_fft // 2, SPEC.n_fft // 2)))
+    frames = spectral.frame_signal(yp, SPEC.n_fft, SPEC.hop_length, n_frames)
+    basis = jnp.asarray(spectral._framedft_consts(SPEC.n_fft, "hann"))
+
+    ref = np.asarray(xla_path(y))
+    got = np.asarray(epilogue_kernel.fused_gammatone(frames, basis, fb))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=0)
+
+
+def test_fused_gammatone_in_feature_graph(real_clips, monkeypatch):
+    """extract_features with TPU_BREATH_PALLAS_GT=1 (kernel, interpret mode)
+    must match the default XLA path bit-for-bit at the channel level."""
+    import tpu_breath.features as features
+
+    y = jnp.asarray(real_clips)
+    monkeypatch.setenv("TPU_BREATH_PALLAS_GT", "0")
+    f_xla, s_xla = jax.jit(lambda x: features.extract_features(x, SPEC))(y)
+    monkeypatch.setenv("TPU_BREATH_PALLAS_GT", "1")
+    f_pl, s_pl = jax.jit(lambda x: features.extract_features(x, SPEC))(y)
+    gt_idx = SPEC.channel_order.index("gammatone")
+    np.testing.assert_allclose(np.asarray(f_pl[:, gt_idx]),
+                               np.asarray(f_xla[:, gt_idx]), atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_xla),
+                               atol=0, rtol=0)

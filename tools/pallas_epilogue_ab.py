@@ -45,18 +45,33 @@ def main() -> None:
                                   precision=spectral.MM_PRECISION))
         return spectral.znorm(gt, axes=(-2, -1))
 
+    basis = jnp.asarray(spectral._framedft_consts(SPEC.n_fft, "hann"))
+    n_frames = 1 + 16000 // SPEC.hop_length
+
+    def full_kernel(y):
+        yp = jnp.pad(y, ((0, 0), (SPEC.n_fft // 2, SPEC.n_fft // 2)))
+        frames = spectral.frame_signal(yp, SPEC.n_fft, SPEC.hop_length,
+                                       n_frames)
+        return epilogue_kernel.fused_gammatone(frames, basis, fb)
+
     variants = {
         "xla dd (production)": xla_dd,
-        "pallas dd": lambda m: epilogue_kernel.fused_epilogue(m, fb),
+        "pallas dd epilogue": lambda m: epilogue_kernel.fused_epilogue(m, fb),
         "xla plain": xla_plain,
         "pallas plain": lambda m: epilogue_kernel.fused_epilogue(
             m, fb, plain=True),
         "stft_dd alone (input)": lambda m: m,
+        "pallas full channel": None,  # replaces the stft too
     }
     for name, f in variants.items():
-        def g(w, f=f):
-            c = w.reshape(B // CH, CH, -1)
-            return jnp.sum(lax.map(lambda y: jnp.sum(f(stft(y))), c))
+        if f is None:
+            def g(w):
+                c = w.reshape(B // CH, CH, -1)
+                return jnp.sum(lax.map(lambda y: jnp.sum(full_kernel(y)), c))
+        else:
+            def g(w, f=f):
+                c = w.reshape(B // CH, CH, -1)
+                return jnp.sum(lax.map(lambda y: jnp.sum(f(stft(y))), c))
 
         j = jax.jit(g)
         float(j(x))  # compile + warm

@@ -26,6 +26,17 @@ from tpu_breath.ops import lpc as lpc_ops
 from tpu_breath.ops import rhythm, scalars as scalar_ops
 
 
+def _use_pallas_gammatone(y: jax.Array) -> bool:
+    """Gammatone channel backend choice at trace time: the fused Pallas
+    kernel on real TPU (or when forced via TPU_BREATH_PALLAS_GT=1 — interpret
+    mode, for tests), the XLA double-float path otherwise."""
+    import os
+    mode = os.environ.get("TPU_BREATH_PALLAS_GT", "auto")
+    if mode == "0" or y.ndim != 2:
+        return False
+    return mode == "1" or jax.default_backend() == "tpu"
+
+
 def _zn(x):
     return spectral.znorm(x, axes=(-2, -1))
 
@@ -95,12 +106,25 @@ def extract_features(y: jax.Array,
     # |S| err 1e-6 / product err 2e-8 measured on-chip) and log1p through
     # dd.log1p_cr (the backend's native log1p is ~100 ulp off, which was the
     # dominant term: 2.3e-5 pre-norm -> 5.5e-3 post-norm).
-    from tpu_breath.ops import dd as dd_ops
-    gt_mag = spectral.stft_mag_dd(y, n_fft, hop)  # [..., F, T]
     gt_fb = jnp.asarray(spectral.mel_matrix(sr, n_fft, spec.n_gammatone))
-    gt = dd_ops.log1p_cr(
-        dd_ops.matmul_dd(gt_mag.swapaxes(-1, -2), gt_fb.T).swapaxes(-1, -2))
-    gt_c = _pads(_zn(gt), spec)
+    if _use_pallas_gammatone(y):
+        # Same math, one VMEM-resident Pallas kernel (no HBM round-trips for
+        # the double-float GEMM carries); bit-identical numerics asserted in
+        # tests/test_pallas_epilogue.py, A/B in tools/pallas_epilogue_ab.py.
+        from tpu_breath.ops.pallas import epilogue_kernel
+        n_frames = 1 + y.shape[-1] // hop
+        yp = jnp.pad(y, ((0, 0), (n_fft // 2, n_fft // 2)))
+        frames = spectral.frame_signal(yp, n_fft, hop, n_frames)
+        basis = jnp.asarray(spectral._framedft_consts(n_fft, "hann"))
+        gt_c = _pads(epilogue_kernel.fused_gammatone(frames, basis, gt_fb),
+                     spec)
+    else:
+        from tpu_breath.ops import dd as dd_ops
+        gt_mag = spectral.stft_mag_dd(y, n_fft, hop)  # [..., F, T]
+        gt = dd_ops.log1p_cr(
+            dd_ops.matmul_dd(gt_mag.swapaxes(-1, -2), gt_fb.T
+                             ).swapaxes(-1, -2))
+        gt_c = _pads(_zn(gt), spec)
 
     # --- Burg LPC (methods.py:116-134): [12, 98], z-normed then truncated
     lpc = lpc_ops.lpc_features(y, spec.n_lpc, sr)

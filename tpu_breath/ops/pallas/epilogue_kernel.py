@@ -67,6 +67,97 @@ def _epilogue_kernel(fb_ref, mag_ref, out_ref, *, n_slices: int, f_valid: int,
     out_ref[...] = (gt - mean) / (jnp.sqrt(var) + 1e-8)
 
 
+def _gammatone_kernel(basis_ref, fb_ref, frames_ref, out_ref, *,
+                      n_k_slices: int, n_f_slices: int, f_valid: int):
+    """The WHOLE gammatone channel for one clip block, VMEM-resident:
+    frames -> dd real-DFT -> |S| -> dd filterbank GEMM -> log1p_cr -> z-norm.
+
+    Numerics are bit-identical to the XLA path (stft_mag_dd + matmul_dd +
+    log1p_cr + znorm in features.py): same 8-wide contraction slices in the
+    same order, same two_sum accumulation, same HIGHEST-precision dots. The
+    XLA path's lax.scan round-trips its double-float carries through HBM
+    every slice (~2 MB x 97 slices per 128-clip chunk); here both GEMM
+    chains keep carries in VMEM."""
+    frames = frames_ref[...]  # [C, T, K]
+    basis = basis_ref[...]    # [K, 2F]
+    fbt = fb_ref[...]         # [Fp, G] (filterbank transpose, rows padded)
+
+    c, t, k = frames.shape
+    f2 = basis.shape[1]
+    g = fbt.shape[1]
+    m = frames.reshape(c * t, k)
+
+    def dd_gemm(a, b, n_slices):
+        def body(i, carry):
+            h, l = carry
+            p = jax.lax.dot(
+                lax.dynamic_slice(a, (0, i * _SLICE), (a.shape[0], _SLICE)),
+                lax.dynamic_slice(b, (i * _SLICE, 0), (_SLICE, b.shape[1])),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            h, e = dd._two_sum(h, p)
+            return h, l + e
+
+        zeros = jnp.zeros((a.shape[0], b.shape[1]), jnp.float32)
+        h, l = lax.fori_loop(0, n_slices, body, (zeros, zeros))
+        return h + l
+
+    ri = dd_gemm(m, basis, n_k_slices)            # [C*T, 2F]
+    re, im = ri[:, :f_valid], ri[:, f_valid:]
+    mag = jnp.sqrt(re * re + im * im)             # [C*T, F]
+    fp = fbt.shape[0]
+    if fp != f_valid:  # zero-pad the second contraction like matmul_dd
+        mag = jnp.concatenate(
+            [mag, jnp.zeros((c * t, fp - f_valid), jnp.float32)], axis=1)
+    gt = dd.log1p_cr(dd_gemm(mag, fbt, n_f_slices))   # [C*T, G]
+    gt = gt.reshape(c, t, g).transpose(0, 2, 1)       # [C, G, T]
+    mean = jnp.mean(gt, axis=(1, 2), keepdims=True)
+    var = jnp.mean((gt - mean) ** 2, axis=(1, 2), keepdims=True)
+    out_ref[...] = (gt - mean) / (jnp.sqrt(var) + 1e-8)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def fused_gammatone(frames: jax.Array, basis: jax.Array, fb: jax.Array,
+                    interpret: bool | None = None) -> jax.Array:
+    """frames[B, T, K] (window folded into basis), basis[K, 2F], fb[G, F]
+    -> z-normed gammatone [B, G, T], one clip block per grid step."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, k = frames.shape
+    f2 = basis.shape[1]
+    f_valid = f2 // 2
+    g = fb.shape[0]
+    if k % _SLICE:
+        raise ValueError(f"n_fft {k} must be a multiple of {_SLICE}")
+    n_f_slices = -(-f_valid // _SLICE)
+    fp = n_f_slices * _SLICE
+    fbt = fb.T.astype(jnp.float32)
+    if fp != f_valid:
+        fbt = jnp.pad(fbt, ((0, fp - f_valid), (0, 0)))
+    cb = _CLIPS_PER_BLOCK
+    bp = -(-b // cb) * cb
+    if bp != b:
+        frames = jnp.pad(frames, ((0, bp - b), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_gammatone_kernel, n_k_slices=k // _SLICE,
+                               n_f_slices=n_f_slices, f_valid=f_valid)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // cb,),
+        in_specs=[
+            pl.BlockSpec((k, f2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, t, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, g, t), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, g, t), jnp.float32),
+        interpret=interpret,
+    )(basis.astype(jnp.float32), fbt, frames.astype(jnp.float32))
+    return out[:b]
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def fused_epilogue(mag: jax.Array, fb: jax.Array, plain: bool = False,
                    interpret: bool | None = None) -> jax.Array:
