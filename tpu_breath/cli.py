@@ -74,6 +74,22 @@ def cmd_precompute(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
     _build_feature_store(paths, DEFAULT_FEATURES, write_npz=args.npz,
                          chunk=args.chunk)
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        # Stage-level wall-clock attribution of the feature graph — the
+        # observability this backend CAN provide (no device traces through
+        # the axon relay; see utils/profiling.py).
+        from tpu_breath.utils import profiling
+        train_df, _ = ds.load_frames(paths)
+        wav_paths = [os.path.join(paths.train_audio_dir,
+                                  ds.train_wav_name(i))
+                     for i in train_df["ID"][:2048]]
+        wavs = wav_io.load_wav_batch(wav_paths, DEFAULT_FEATURES.expected_len)
+        display.print_start("profiling feature-graph stages")
+        path = profiling.write_feature_profile(
+            profile_dir, wavs, chunk=args.chunk,
+            log_fn=display.print_info)
+        display.print_success(f"stage profile written to {path}")
 
 
 def _prepare_splits(paths: Paths, spec: FeatureSpec, npz_dir: str | None = None):
@@ -201,10 +217,18 @@ def cmd_train(args) -> None:
         if not os.path.isdir(profile_dir) or not os.listdir(profile_dir):
             # the experimental axon relay backend produces no device trace
             display.print_warning(
-                "profiler produced no trace on this backend; per-epoch wall "
-                "times are in checkpoints/<arch>/history.jsonl")
+                "profiler produced no device trace on this backend; writing "
+                "wall-clock attribution instead")
         else:
             display.print_success(f"profiler trace written to {profile_dir}")
+    if getattr(args, "profile", None):
+        # Backend-portable fallback: per-epoch timing attribution (see
+        # utils/profiling.py; stage-level feature attribution lives under
+        # `precompute --profile`).
+        from tpu_breath.utils import profiling
+        path = profiling.write_train_profile(
+            args.profile, {a: r.history for a, r in results.items()})
+        display.print_success(f"train profile written to {path}")
     if args.predict:
         _predict(results, te, paths)
 
@@ -268,6 +292,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--npz", action="store_true",
                     help="also write reference-schema .npz files")
     sp.add_argument("--chunk", type=int, default=128)
+    sp.add_argument("--profile", default=None, metavar="DIR",
+                    help="write per-stage feature-graph timing attribution")
     sp.set_defaults(fn=cmd_precompute)
 
     for name, fn in (("train", cmd_train), ("e2e", cmd_e2e)):
