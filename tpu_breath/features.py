@@ -27,14 +27,13 @@ from tpu_breath.ops import rhythm, scalars as scalar_ops
 
 
 def _use_pallas_gammatone(y: jax.Array) -> bool:
-    """Gammatone channel backend choice at trace time: the fused Pallas
-    kernel on real TPU (or when forced via TPU_BREATH_PALLAS_GT=1 — interpret
-    mode, for tests), the XLA double-float path otherwise."""
+    """Gammatone channel backend choice at trace time. Default is the XLA
+    double-float path everywhere: the fused Pallas kernel is parity-exact and
+    A/B'd (tools/pallas_epilogue_ab.py) but does not win on this backend, so
+    it is opt-in via TPU_BREATH_PALLAS_GT=1 (auto-interpret off-TPU)."""
     import os
-    mode = os.environ.get("TPU_BREATH_PALLAS_GT", "auto")
-    if mode == "0" or y.ndim != 2:
-        return False
-    return mode == "1" or jax.default_backend() == "tpu"
+    mode = os.environ.get("TPU_BREATH_PALLAS_GT", "0")
+    return mode == "1" and y.ndim == 2
 
 
 def _zn(x):

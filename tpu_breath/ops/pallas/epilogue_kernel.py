@@ -5,12 +5,18 @@ reference src/precompute/methods.py:136-140).
 The XLA path (features.py) runs this as a chunked compensated GEMM
 (ops/dd.matmul_dd: a 33-step lax.scan whose double-float carries round-trip
 through HBM), then dd.log1p_cr, then the z-score's four reduction kernels.
-Here each grid step loads one clip block's magnitudes into VMEM once and the
+Here each grid step loads one clip's magnitudes into VMEM once and the
 whole chain — dd GEMM accumulation, correctly-rounded log1p, mean/std,
 normalize — reads and writes VMEM only. Numerics are IDENTICAL to the XLA
 path (same two_sum/two_prod double-float ops, same slice order), asserted by
 tests/test_pallas_epilogue.py, so an A/B is purely about fusion overhead
 (tools/pallas_epilogue_ab.py records the verdict either way).
+
+Mosaic constraints shaped this kernel (both learned on-chip, not CPU
+interpret mode): (1) dynamic_slice of a VMEM value inside fori_loop/scan has
+no TC lowering, so the contraction loop is Python-unrolled over static
+slices; (2) rank-3 transpose/reshape of VMEM values aborts the Mosaic layout
+pass, so the grid is ONE CLIP per step and every in-kernel value is rank-2.
 
 A `plain=True` variant (native f32 dot + jnp.log1p) exists to answer §7.1's
 original (pre-double-float) question like-for-like against the plain XLA
@@ -20,7 +26,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -30,97 +35,75 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_breath.ops import dd
 
 _SLICE = 8  # contraction slice width of the dd GEMM (matches dd.matmul_dd)
-_CLIPS_PER_BLOCK = 8
 
 
-def _epilogue_kernel(fb_ref, mag_ref, out_ref, *, n_slices: int, f_valid: int,
+def _dd_gemm_unrolled(a, b, n_slices: int):
+    """Compensated (double-float) GEMM, contraction in _SLICE-wide steps in
+    the same order / with the same two_sum accumulation as dd.matmul_dd."""
+    h = jnp.zeros((a.shape[0], b.shape[1]), jnp.float32)
+    l = h
+    for i in range(n_slices):
+        p = jax.lax.dot(
+            a[:, i * _SLICE:(i + 1) * _SLICE],
+            b[i * _SLICE:(i + 1) * _SLICE, :],
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        h, e = dd._two_sum(h, p)
+        l = l + e
+    return h + l
+
+
+def _znorm(gt):
+    """z-score over the whole clip (all elements), shape-preserving."""
+    mean = jnp.mean(gt)
+    var = jnp.mean((gt - mean) ** 2)
+    return (gt - mean) / (jnp.sqrt(var) + 1e-8)
+
+
+def _epilogue_kernel(fb_ref, mag_ref, out_ref, *, n_slices: int,
                      plain: bool):
-    mag = mag_ref[...]  # [C, Fp, T]
-    fb = fb_ref[...]    # [G, Fp]
-
-    c, fp, t = mag.shape
-    g = fb.shape[0]
-    mag2 = mag.transpose(1, 0, 2).reshape(fp, c * t)  # [Fp, C*T]
-
+    mag = mag_ref[0]   # [Fp, T] (one clip)
+    fb = fb_ref[...]   # [G, Fp]
     if plain:
-        prod = jax.lax.dot(fb, mag2, precision=lax.Precision.HIGHEST,
+        prod = jax.lax.dot(fb, mag, precision=lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
         gt = jnp.log1p(prod)
     else:
-        def body(i, carry):
-            h, l = carry
-            p = jax.lax.dot(
-                lax.dynamic_slice(fb, (0, i * _SLICE), (g, _SLICE)),
-                lax.dynamic_slice(mag2, (i * _SLICE, 0), (_SLICE, c * t)),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            h, e = dd._two_sum(h, p)
-            return h, l + e
-
-        zeros = jnp.zeros((g, c * t), jnp.float32)
-        h, l = lax.fori_loop(0, n_slices, body, (zeros, zeros))
-        gt = dd.log1p_cr(h + l)
-
-    gt = gt.reshape(g, c, t).transpose(1, 0, 2)  # [C, G, T]
-    mean = jnp.mean(gt, axis=(1, 2), keepdims=True)
-    var = jnp.mean((gt - mean) ** 2, axis=(1, 2), keepdims=True)
-    out_ref[...] = (gt - mean) / (jnp.sqrt(var) + 1e-8)
+        gt = dd.log1p_cr(_dd_gemm_unrolled(fb, mag, n_slices))
+    out_ref[0] = _znorm(gt)
 
 
 def _gammatone_kernel(basis_ref, fb_ref, frames_ref, out_ref, *,
                       n_k_slices: int, n_f_slices: int, f_valid: int):
-    """The WHOLE gammatone channel for one clip block, VMEM-resident:
+    """The WHOLE gammatone channel for one clip, VMEM-resident:
     frames -> dd real-DFT -> |S| -> dd filterbank GEMM -> log1p_cr -> z-norm.
 
     Numerics are bit-identical to the XLA path (stft_mag_dd + matmul_dd +
     log1p_cr + znorm in features.py): same 8-wide contraction slices in the
     same order, same two_sum accumulation, same HIGHEST-precision dots. The
     XLA path's lax.scan round-trips its double-float carries through HBM
-    every slice (~2 MB x 97 slices per 128-clip chunk); here both GEMM
-    chains keep carries in VMEM."""
-    frames = frames_ref[...]  # [C, T, K]
+    every slice; here both GEMM chains keep carries in VMEM."""
+    frames = frames_ref[0]    # [T, K]
     basis = basis_ref[...]    # [K, 2F]
     fbt = fb_ref[...]         # [Fp, G] (filterbank transpose, rows padded)
 
-    c, t, k = frames.shape
-    f2 = basis.shape[1]
-    g = fbt.shape[1]
-    m = frames.reshape(c * t, k)
-
-    def dd_gemm(a, b, n_slices):
-        def body(i, carry):
-            h, l = carry
-            p = jax.lax.dot(
-                lax.dynamic_slice(a, (0, i * _SLICE), (a.shape[0], _SLICE)),
-                lax.dynamic_slice(b, (i * _SLICE, 0), (_SLICE, b.shape[1])),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            h, e = dd._two_sum(h, p)
-            return h, l + e
-
-        zeros = jnp.zeros((a.shape[0], b.shape[1]), jnp.float32)
-        h, l = lax.fori_loop(0, n_slices, body, (zeros, zeros))
-        return h + l
-
-    ri = dd_gemm(m, basis, n_k_slices)            # [C*T, 2F]
+    t = frames.shape[0]
+    ri = _dd_gemm_unrolled(frames, basis, n_k_slices)  # [T, 2F]
     re, im = ri[:, :f_valid], ri[:, f_valid:]
-    mag = jnp.sqrt(re * re + im * im)             # [C*T, F]
+    mag = jnp.sqrt(re * re + im * im)                  # [T, F]
     fp = fbt.shape[0]
     if fp != f_valid:  # zero-pad the second contraction like matmul_dd
         mag = jnp.concatenate(
-            [mag, jnp.zeros((c * t, fp - f_valid), jnp.float32)], axis=1)
-    gt = dd.log1p_cr(dd_gemm(mag, fbt, n_f_slices))   # [C*T, G]
-    gt = gt.reshape(c, t, g).transpose(0, 2, 1)       # [C, G, T]
-    mean = jnp.mean(gt, axis=(1, 2), keepdims=True)
-    var = jnp.mean((gt - mean) ** 2, axis=(1, 2), keepdims=True)
-    out_ref[...] = (gt - mean) / (jnp.sqrt(var) + 1e-8)
+            [mag, jnp.zeros((t, fp - f_valid), jnp.float32)], axis=1)
+    gt = dd.log1p_cr(_dd_gemm_unrolled(mag, fbt, n_f_slices))  # [T, G]
+    out_ref[0] = _znorm(gt).T                                  # [G, T]
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def fused_gammatone(frames: jax.Array, basis: jax.Array, fb: jax.Array,
                     interpret: bool | None = None) -> jax.Array:
     """frames[B, T, K] (window folded into basis), basis[K, 2F], fb[G, F]
-    -> z-normed gammatone [B, G, T], one clip block per grid step."""
+    -> z-normed gammatone [B, G, T], one clip per grid step."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, k = frames.shape
@@ -134,35 +117,31 @@ def fused_gammatone(frames: jax.Array, basis: jax.Array, fb: jax.Array,
     fbt = fb.T.astype(jnp.float32)
     if fp != f_valid:
         fbt = jnp.pad(fbt, ((0, fp - f_valid), (0, 0)))
-    cb = _CLIPS_PER_BLOCK
-    bp = -(-b // cb) * cb
-    if bp != b:
-        frames = jnp.pad(frames, ((0, bp - b), (0, 0), (0, 0)))
 
     kernel = functools.partial(_gammatone_kernel, n_k_slices=k // _SLICE,
                                n_f_slices=n_f_slices, f_valid=f_valid)
     out = pl.pallas_call(
         kernel,
-        grid=(bp // cb,),
+        grid=(b,),
         in_specs=[
             pl.BlockSpec((k, f2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((fp, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, t, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, t, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cb, g, t), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, g, t), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, g, t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, g, t), jnp.float32),
         interpret=interpret,
     )(basis.astype(jnp.float32), fbt, frames.astype(jnp.float32))
-    return out[:b]
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def fused_epilogue(mag: jax.Array, fb: jax.Array, plain: bool = False,
                    interpret: bool | None = None) -> jax.Array:
     """mag[B, F, T] magnitudes, fb[G, F] filterbank ->
-    z-normed log1p(fb @ mag) [B, G, T], one clip block per grid step."""
+    z-normed log1p(fb @ mag) [B, G, T], one clip per grid step."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, f, t = mag.shape
@@ -172,25 +151,21 @@ def fused_epilogue(mag: jax.Array, fb: jax.Array, plain: bool = False,
     if fp != f:  # zero-pad the contraction (zeros contribute nothing)
         mag = jnp.pad(mag, ((0, 0), (0, fp - f), (0, 0)))
         fb = jnp.pad(fb, ((0, 0), (0, fp - f)))
-    cb = _CLIPS_PER_BLOCK
-    bp = -(-b // cb) * cb
-    if bp != b:
-        mag = jnp.pad(mag, ((0, bp - b), (0, 0), (0, 0)))
 
     kernel = functools.partial(_epilogue_kernel, n_slices=n_slices,
-                               f_valid=f, plain=plain)
+                               plain=plain)
     out = pl.pallas_call(
         kernel,
-        grid=(bp // cb,),
+        grid=(b,),
         in_specs=[
             pl.BlockSpec((g, fp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, fp, t), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, fp, t), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cb, g, t), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, g, t), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, g, t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, g, t), jnp.float32),
         interpret=interpret,
     )(fb, mag)
-    return out[:b]
+    return out
