@@ -159,13 +159,55 @@ def _extract_jit(y, spec):
     return extract_features(y, spec)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _extract_scan_jit(wav_chunks, spec):
+    """wav_chunks[C, chunk, L] -> ([C, chunk, ...], [C, chunk, S]) in ONE
+    dispatch: lax.scan compiles the chunk body once and iterates it on
+    device, so the per-chunk graph-execution overhead (the ~2 ms/subgraph
+    floor that dominated the round-2 feature wall time, RESULTS.md) is paid
+    once per dataset instead of once per chunk."""
+    def body(carry, x):
+        return carry, extract_features(x, spec)
+
+    _, out = jax.lax.scan(body, None, wav_chunks)
+    return out
+
+
+def _chunked(wavs: np.ndarray, chunk: int) -> tuple[np.ndarray, int]:
+    """Pad to a whole number of chunks (single compiled shape)."""
+    n = wavs.shape[0]
+    n_chunks = -(-n // chunk)
+    if n_chunks * chunk != n:
+        wavs = np.pad(wavs, ((0, n_chunks * chunk - n), (0, 0)))
+    return wavs.reshape(n_chunks, chunk, wavs.shape[-1]), n_chunks
+
+
 def extract_features_batched(wavs: np.ndarray,
                              spec: FeatureSpec = DEFAULT_FEATURES,
-                             chunk: int = 128) -> tuple[np.ndarray, np.ndarray]:
+                             chunk: int = 128,
+                             scan: bool | None = None
+                             ) -> tuple[np.ndarray, np.ndarray]:
     """Host convenience: run the jitted graph over a large array of clips in
     device-sized chunks (the CQT frame expansion is ~6.3 MB/clip, so chunking
-    bounds peak HBM). Returns numpy (features, scalars)."""
+    bounds peak HBM). Returns numpy (features, scalars).
+
+    scan=True iterates the chunk body with lax.scan inside one jit (one
+    device dispatch for the whole dataset); scan=False (the default)
+    dispatches one jit call per chunk, asynchronously. The layouts are
+    numerically identical (tests/test_batched_extract.py); the dispatch
+    layout stays the default because per-chunk dispatch overhead is already
+    amortized by async dispatch with one final sync, while the scan layout
+    pays a fresh whole-dataset compile per batch geometry (A/B:
+    tools/scan_ab.py)."""
     n = wavs.shape[0]
+    if scan is None:
+        scan = False
+    if scan:
+        wav_chunks, _ = _chunked(wavs, chunk)
+        f, s = _extract_scan_jit(jnp.asarray(wav_chunks), spec)
+        feats_out = np.asarray(f).reshape(-1, *f.shape[2:])[:n]
+        scal_out = np.asarray(s).reshape(-1, s.shape[-1])[:n]
+        return feats_out, scal_out
     feats_out = np.empty((n, spec.n_channels, spec.n_mels, spec.t_fixed),
                          np.float32)
     scal_out = np.empty((n, spec.n_scalars), np.float32)
