@@ -88,7 +88,12 @@ def test_fused_gammatone_matches_xla_dd_path(real_clips):
 
 def test_fused_gammatone_in_feature_graph(real_clips, monkeypatch):
     """extract_features with TPU_BREATH_PALLAS_GT=1 (kernel, interpret mode)
-    must match the default XLA path bit-for-bit at the channel level."""
+    against the default XLA path. The default path now feeds the channel the
+    round-once stft_mag_cr magnitude (shared with the chroma tuning,
+    PARITY.md) while the kernel keeps the stft_mag_dd chain — the ~1e-7 |S|
+    difference is amplified ~200x by the channel's z-score, so the bound is
+    2e-4 (vs the 1e-3 parity budget), not bit-exact. Scalars don't go
+    through the kernel and must be untouched."""
     import tpu_breath.features as features
 
     y = jnp.asarray(real_clips)
@@ -98,6 +103,6 @@ def test_fused_gammatone_in_feature_graph(real_clips, monkeypatch):
     f_pl, s_pl = jax.jit(lambda x: features.extract_features(x, SPEC))(y)
     gt_idx = SPEC.channel_order.index("gammatone")
     np.testing.assert_allclose(np.asarray(f_pl[:, gt_idx]),
-                               np.asarray(f_xla[:, gt_idx]), atol=1e-5, rtol=0)
+                               np.asarray(f_xla[:, gt_idx]), atol=2e-4, rtol=0)
     np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_xla),
                                atol=0, rtol=0)

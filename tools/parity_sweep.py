@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--root", default="input")
     ap.add_argument("--out", default="PARITY_SWEEP.json")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore the feature cache (it may predate graph "
+                         "numerics changes); run the device graph now")
     args = ap.parse_args()
 
     from tpu_breath.config import DEFAULT_FEATURES, Paths
@@ -50,7 +53,7 @@ def main() -> None:
     print(f"{len(ids)} clips decoded")
 
     # ---- device side: full dataset through the jitted graph
-    if ds.FeatureStore.cache_exists(paths.feature_cache):
+    if not args.fresh and ds.FeatureStore.cache_exists(paths.feature_cache):
         store = ds.FeatureStore.load_cache(paths.feature_cache, mmap=False)
         assert store.ids == ids, "cache/index mismatch; rerun precompute"
         feats, scals = store.features, store.scalars
@@ -68,6 +71,7 @@ def main() -> None:
     per_channel = {name: [] for name in spec.channel_order}
     scalar_rel = []
     tuning12_flips, tuning36_flips = 0, 0
+    flip_ties = []
 
     import jax
     import jax.numpy as jnp
@@ -75,11 +79,30 @@ def main() -> None:
 
     @jax.jit
     def device_tunings(y):
-        s512 = sp_ops.stft_mag(y, spec.n_fft, spec.hop_length)
+        # same S construction as the production graph (features.py): the
+        # bpo12 estimate reads the round-once dd magnitude
+        s512 = sp_ops.stft_mag_cr(y, spec.n_fft, spec.hop_length)
         t12 = ch_ops.estimate_tuning(s512, spec.sr, spec.n_fft, 12)
         s2048 = sp_ops.stft_mag(y, 2048, spec.hop_length)[..., ::2]
         t36 = ch_ops.estimate_tuning(s2048, spec.sr, 2048, 36)
         return t12, t36
+
+    def tie_width(S_o, bpo):
+        """Oracle histogram's top1-top2 count gap for a flip post-mortem: a
+        gap of 0 means the argmax was a pure tie-break, <=1 means one moved
+        residual decides it (the only flips the ~1e-6 |S| noise can cause)."""
+        pitches, mags = dsp_np.piptrack(S_o, spec.sr, spec.n_fft)
+        mask = pitches > 0
+        thr = np.median(mags[mask]) if mask.any() else 0.0
+        f = pitches[(mags >= thr) & mask]
+        f = f[f > 0].astype(np.float32)
+        q = np.float32(f.astype(np.float64) / 27.5)
+        octs = np.float32(np.log2(q.astype(np.float64)))
+        r = np.mod(np.float32(bpo) * octs, np.float32(1.0))
+        r[r >= 0.5] -= np.float32(1.0)
+        counts, _ = np.histogram(r, np.linspace(-0.5, 0.5, 101))
+        top = np.sort(counts)[-2:]
+        return int(top[1] - top[0])
 
     t0 = time.time()
     for j, i in enumerate(sample):
@@ -95,7 +118,10 @@ def main() -> None:
         t12_o = dsp_np.estimate_tuning_from_S(stft_m, spec.sr, spec.n_fft, 12)
         t36_o = dsp_np.estimate_tuning_from_y(y, spec.sr, 36)
         t12_d, t36_d = map(float, device_tunings(jnp.asarray(wavs[i])))
-        tuning12_flips += int(abs(t12_d - t12_o) > 1e-6)
+        if abs(t12_d - t12_o) > 1e-6:
+            tuning12_flips += 1
+            flip_ties.append({"id": ids[i], "bpo": 12,
+                              "tie_width": tie_width(stft_m, 12)})
         tuning36_flips += int(abs(t36_d - t36_o) > 1e-6)
         if (j + 1) % 50 == 0:
             rate = (j + 1) / (time.time() - t0)
@@ -113,6 +139,7 @@ def main() -> None:
         "scalar_max_rel_err": stats(scalar_rel),
         "tuning_flip_rate_bpo12": tuning12_flips / len(sample),
         "tuning_flip_rate_bpo36": tuning36_flips / len(sample),
+        "tuning_flips": flip_ties,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -87,7 +87,13 @@ def extract_features(y: jax.Array,
                                ).swapaxes(-1, -2)
 
     # --- chroma_stft + chroma_cens stack (process.py:51-57)
-    stft512 = spectral.stft_mag(y, n_fft, hop)
+    # Round-once-from-quasi-f64 |STFT|: the chroma tuning estimate's near-tied
+    # histogram argmax flips on single-ulp |S| noise (PARITY.md, flip_hunt),
+    # so this S matches the oracle's f32(|STFT_f64|) to ~1e-7 absolute. It
+    # also feeds the gammatone filterbank and the scalar descriptors below —
+    # one dd DFT replaces both the plain f32 512-DFT and the gammatone's
+    # separate dd pass.
+    stft512 = spectral.stft_mag_cr(y, n_fft, hop)
     ch = chroma_ops.chroma_stft(stft512, sr)
     cens = cqt_ops.chroma_cens(y, sr, hop, spec.cqt_fmin,
                                bins_per_octave=spec.cqt_bins_per_octave,
@@ -108,8 +114,9 @@ def extract_features(y: jax.Array,
     gt_fb = jnp.asarray(spectral.mel_matrix(sr, n_fft, spec.n_gammatone))
     if _use_pallas_gammatone(y):
         # Same math, one VMEM-resident Pallas kernel (no HBM round-trips for
-        # the double-float GEMM carries); bit-identical numerics asserted in
-        # tests/test_pallas_epilogue.py, A/B in tools/pallas_epilogue_ab.py.
+        # the double-float GEMM carries); keeps the stft_mag_dd chain, ~1e-7
+        # in |S| from the default path's stft_mag_cr (bound asserted in
+        # tests/test_pallas_epilogue.py, A/B in tools/pallas_epilogue_ab.py).
         from tpu_breath.ops.pallas import epilogue_kernel
         n_frames = 1 + y.shape[-1] // hop
         yp = jnp.pad(y, ((0, 0), (n_fft // 2, n_fft // 2)))
@@ -119,9 +126,8 @@ def extract_features(y: jax.Array,
                      spec)
     else:
         from tpu_breath.ops import dd as dd_ops
-        gt_mag = spectral.stft_mag_dd(y, n_fft, hop)  # [..., F, T]
         gt = dd_ops.log1p_cr(
-            dd_ops.matmul_dd(gt_mag.swapaxes(-1, -2), gt_fb.T
+            dd_ops.matmul_dd(stft512.swapaxes(-1, -2), gt_fb.T
                              ).swapaxes(-1, -2))
         gt_c = _pads(_zn(gt), spec)
 

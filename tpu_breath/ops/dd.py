@@ -101,8 +101,11 @@ def div_cr(a: jax.Array, b: jax.Array) -> jax.Array:
     return q_h + q_l
 
 
-def matmul_dd(a: jax.Array, b: jax.Array, chunk: int = 8) -> jax.Array:
-    """Compensated-accumulation f32 matmul: a[..., m, k] @ b[k, n].
+def matmul_dd_pair(a: jax.Array, b: jax.Array, chunk: int = 8,
+                   b_lo: jax.Array | None = None
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Compensated-accumulation f32 matmul a[..., m, k] @ b[k, n], returned
+    as an unevaluated double-float pair (h, l).
 
     Why: a plain f32 GEMM's accumulation error grows with SUM |a_i b_i|, not
     with the result — for DFT rows (heavy cancellation: sum of |terms| can be
@@ -116,7 +119,11 @@ def matmul_dd(a: jax.Array, b: jax.Array, chunk: int = 8) -> jax.Array:
     are accumulated across the scan in double-float (error-free two_sum), so
     cross-slice accumulation is exact. Measured error vs a float64 host GEMM:
     ~1e-7 absolute for the 512-point DFT, ~100x better than the single GEMM.
-    """
+
+    b_lo, if given, is the f32 tail of a float64-valued B (b64 - f32(b64)):
+    one extra DEFAULT-precision GEMM a @ b_lo folds the constant's rounding
+    error back in, so the pair approximates a @ b64 rather than a @ f32(b64)
+    (the tail product is ~3e-7 of the result; its own rounding is ~1e-14)."""
     k = a.shape[-1]
     if b.shape[0] != k:
         raise ValueError(f"contraction mismatch: {a.shape} @ {b.shape}")
@@ -139,8 +146,39 @@ def matmul_dd(a: jax.Array, b: jax.Array, chunk: int = 8) -> jax.Array:
         return (h, l + e), None
 
     zeros = jnp.zeros(out_shape, jnp.float32)
-    (h, l), _ = lax.scan(body, (zeros, zeros), (a_s, b_s))
+    if b_lo is not None:
+        # DEFAULT (single bf16 pass) suffices: the tail product is ~3e-7 of
+        # the result, so its own ~4e-3 relative rounding lands at ~1e-9.
+        tail = jnp.matmul(a[..., :k], b_lo, precision=lax.Precision.DEFAULT)
+        init = (zeros, tail)
+    else:
+        init = (zeros, zeros)
+    (h, l), _ = lax.scan(body, init, (a_s, b_s))
+    return _fast_two_sum(h, l)  # normalize: |l| <= ulp(h)/2 for dd consumers
+
+
+def matmul_dd(a: jax.Array, b: jax.Array, chunk: int = 8) -> jax.Array:
+    """matmul_dd_pair rounded once to f32."""
+    h, l = matmul_dd_pair(a, b, chunk=chunk)
     return h + l
+
+
+def sqrt_dd(sh: jax.Array, sl: jax.Array) -> jax.Array:
+    """f32 sqrt of a non-negative double-float value, rounded once.
+
+    One Newton correction of the hardware sqrt carried in double-float:
+    r = y0 + (s - y0^2) / (2 y0), with y0^2 exact via two_prod and the
+    subtraction error-free in dd — accurate to ~2^-45 relative before the
+    single final rounding (matches float64-computed-then-rounded sqrt except
+    within ~1e-12 of a rounding boundary). s == 0 returns 0."""
+    y0 = jnp.sqrt(sh)
+    p_h, p_l = _two_prod(y0, y0)
+    e_h, e_l = _dd_add(sh, sl, -p_h, -p_l)
+    denom = 2.0 * y0
+    safe = jnp.where(denom > 0, denom, 1.0)
+    corr = (e_h + e_l) / safe
+    r_h, r_l = _fast_two_sum(y0, corr)
+    return jnp.where(sh > 0, r_h + r_l, 0.0)
 
 
 # log2(1+u) series on u in [sqrt(2)/2 - 1, sqrt(2) - 1): use

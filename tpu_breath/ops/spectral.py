@@ -144,12 +144,68 @@ def _framedft_consts(n_fft: int, window: str) -> np.ndarray:
     return np.concatenate([c, s], axis=1).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _framedft_consts_dd(n_fft: int, window: str
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """The window-folded real-DFT basis as a double-float pair (hi, lo):
+    hi = f32(basis64), lo = f32(basis64 - hi). Carrying the constant's own
+    rounding tail through the compensated GEMM makes the product approximate
+    frames @ basis64 — the oracle's float64 STFT — instead of the f32-rounded
+    basis (whose rounding alone contributes ~3e-7 absolute)."""
+    kk = np.arange(n_fft)[:, None]
+    ff = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * kk * ff / n_fft
+    c, s = np.cos(ang), -np.sin(ang)
+    if window == "hann":
+        w = _oracle.hann(n_fft, True)[:, None]
+        c, s = c * w, s * w
+    b64 = np.concatenate([c, s], axis=1)
+    hi = b64.astype(np.float32)
+    lo = (b64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def stft_ri_dd(y: jax.Array, n_fft: int, hop_length: int, chunk: int = 8):
+    """STFT real/imag parts as double-float pairs (re_h, re_l, im_h, im_l),
+    each [..., T, F] time-major. The DFT runs through the compensated GEMM
+    (dd.matmul_dd_pair) against the dd-carried float64 basis, so the pairs
+    track the oracle's float64 STFT to ~1e-7 absolute (slice-accumulation
+    floor; PARITY.md)."""
+    from tpu_breath.ops import dd
+    n = y.shape[-1]
+    n_frames = 1 + n // hop_length
+    f_bins = n_fft // 2 + 1
+    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    frames = frame_signal(jnp.pad(y, pad), n_fft, hop_length, n_frames)
+    b_hi, b_lo = _framedft_consts_dd(n_fft, "hann")
+    h, l = dd.matmul_dd_pair(frames, jnp.asarray(b_hi), chunk=chunk,
+                             b_lo=jnp.asarray(b_lo))
+    return (h[..., :f_bins], l[..., :f_bins],
+            h[..., f_bins:], l[..., f_bins:])
+
+
+def stft_mag_cr(y: jax.Array, n_fft: int, hop_length: int,
+                chunk: int = 8) -> jax.Array:
+    """|STFT| rounded ONCE from quasi-float64: dd DFT pair -> dd squares ->
+    dd sqrt -> f32. Matches the oracle's f32(|STFT_float64|) except where the
+    true magnitude sits within ~1e-7 of an f32 rounding boundary — the chain
+    that feeds the tuning-estimate histogram (ops/chroma.py), whose near-tied
+    argmax flips on single-ulp |S| differences (PARITY.md; flip diagnosed in
+    tools/flip_hunt.py). Layout [..., F, T] like stft_mag."""
+    from tpu_breath.ops import dd
+    re_h, re_l, im_h, im_l = stft_ri_dd(y, n_fft, hop_length, chunk=chunk)
+    s_h, s_l = dd._dd_add(*dd._dd_mul(re_h, re_l, re_h, re_l),
+                          *dd._dd_mul(im_h, im_l, im_h, im_l))
+    return dd.sqrt_dd(s_h, s_l).swapaxes(-1, -2)
+
+
 def stft_mag_dd(y: jax.Array, n_fft: int, hop_length: int,
                 chunk: int = 8) -> jax.Array:
     """|STFT| via the compensated GEMM (dd.matmul_dd): ~100x lower absolute
     error than the MXU block-DFT, for channels whose normalization amplifies
     matmul rounding past the parity budget (the gammatone z-score, PARITY.md).
-    Layout [..., F, T] like stft_mag."""
+    Layout [..., F, T] like stft_mag. Superseded by stft_mag_cr (round-once
+    magnitude) on the production graph; kept for the Pallas-kernel A/B."""
     from tpu_breath.ops import dd
     n = y.shape[-1]
     n_frames = 1 + n // hop_length
