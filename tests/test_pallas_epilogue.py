@@ -62,16 +62,19 @@ def test_epilogue_kernel_ragged_batch(real_clips):
 
 def test_fused_gammatone_matches_xla_dd_path(real_clips):
     """The full-channel kernel (frames -> dd DFT -> |S| -> dd filterbank ->
-    log1p_cr -> z-norm) against the XLA double-float path it replaces in
-    features.py. Same slice order and two_sum chain -> tight tolerance."""
+    log1p_cr -> z-norm) against the XLA double-float path at the KERNEL'S
+    8-wide slice layout — same slice order and two_sum chain -> tight
+    tolerance. (Production defaults to 64-wide slices, identical error floor
+    per tools/cr_width_ab.py; the production-vs-kernel gap is covered at the
+    z-norm-amplified 2e-4 bound by test_fused_gammatone_in_feature_graph.)"""
     y = jnp.asarray(real_clips)
     fb = jnp.asarray(spectral.mel_matrix(SPEC.sr, SPEC.n_fft,
                                          SPEC.n_gammatone))
 
     @jax.jit
     def xla_path(x):
-        mag = spectral.stft_mag_dd(x, SPEC.n_fft, SPEC.hop_length)
-        gt = dd.log1p_cr(dd.matmul_dd(mag.swapaxes(-1, -2), fb.T
+        mag = spectral.stft_mag_dd(x, SPEC.n_fft, SPEC.hop_length, chunk=8)
+        gt = dd.log1p_cr(dd.matmul_dd(mag.swapaxes(-1, -2), fb.T, chunk=8
                                       ).swapaxes(-1, -2))
         return spectral.znorm(gt, axes=(-2, -1))
 

@@ -23,7 +23,8 @@ from tpu_breath.utils import display
 
 def _build_feature_store(paths: Paths, spec: FeatureSpec,
                          write_npz: bool = False,
-                         chunk: int = 128) -> ds.FeatureStore:
+                         chunk: int = 128,
+                         scan: bool = False) -> ds.FeatureStore:
     """wav -> batched device feature graph -> FeatureStore (+ caches)."""
     from tpu_breath.features import extract_features_batched
 
@@ -50,7 +51,8 @@ def _build_feature_store(paths: Paths, spec: FeatureSpec,
 
     display.print_start("extracting features on device")
     t0 = time.time()
-    feats, scals = extract_features_batched(wavs, spec, chunk=chunk)
+    feats, scals = extract_features_batched(wavs, spec, chunk=chunk,
+                                            scan=scan)
     dt = time.time() - t0
     display.print_success(
         f"{len(ids)} clips in {dt:.1f}s ({len(ids) / dt:.1f} clips/s)")
@@ -73,7 +75,7 @@ def _load_or_build_store(paths: Paths, spec: FeatureSpec) -> ds.FeatureStore:
 def cmd_precompute(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
     _build_feature_store(paths, DEFAULT_FEATURES, write_npz=args.npz,
-                         chunk=args.chunk)
+                         chunk=args.chunk, scan=getattr(args, "scan", False))
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         # Stage-level wall-clock attribution of the feature graph — the
@@ -294,6 +296,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--chunk", type=int, default=128)
     sp.add_argument("--profile", default=None, metavar="DIR",
                     help="write per-stage feature-graph timing attribution")
+    sp.add_argument("--scan", action="store_true",
+                    help="extract via ONE lax.scan dispatch over chunk "
+                         "bodies (2.9x device throughput vs per-chunk "
+                         "dispatch; pays a per-dataset-geometry compile)")
     sp.set_defaults(fn=cmd_precompute)
 
     for name, fn in (("train", cmd_train), ("e2e", cmd_e2e)):

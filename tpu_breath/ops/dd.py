@@ -101,7 +101,7 @@ def div_cr(a: jax.Array, b: jax.Array) -> jax.Array:
     return q_h + q_l
 
 
-def matmul_dd_pair(a: jax.Array, b: jax.Array, chunk: int = 8,
+def matmul_dd_pair(a: jax.Array, b: jax.Array, chunk: int = 64,
                    b_lo: jax.Array | None = None
                    ) -> tuple[jax.Array, jax.Array]:
     """Compensated-accumulation f32 matmul a[..., m, k] @ b[k, n], returned
@@ -123,7 +123,14 @@ def matmul_dd_pair(a: jax.Array, b: jax.Array, chunk: int = 8,
     b_lo, if given, is the f32 tail of a float64-valued B (b64 - f32(b64)):
     one extra DEFAULT-precision GEMM a @ b_lo folds the constant's rounding
     error back in, so the pair approximates a @ b64 rather than a @ f32(b64)
-    (the tail product is ~3e-7 of the result; its own rounding is ~1e-14)."""
+    (the tail product is ~3e-7 of the result; its own rounding is ~1e-14).
+
+    chunk=64 is the measured sweet spot (tools/cr_width_ab.py, on-chip): the
+    error floor is the MXU's per-product rounding, IDENTICAL at widths
+    8/32/64 (|S| max 3.8e-6, tuning flips 0/500), while each scan step
+    round-trips the (h, l) carries through HBM — width 64 is 2.2x faster
+    than 8. Width 128 grows the within-slice f32 sum error 1.5x for only
+    14% more speed, so 64 stays the default."""
     k = a.shape[-1]
     if b.shape[0] != k:
         raise ValueError(f"contraction mismatch: {a.shape} @ {b.shape}")
@@ -157,7 +164,7 @@ def matmul_dd_pair(a: jax.Array, b: jax.Array, chunk: int = 8,
     return _fast_two_sum(h, l)  # normalize: |l| <= ulp(h)/2 for dd consumers
 
 
-def matmul_dd(a: jax.Array, b: jax.Array, chunk: int = 8) -> jax.Array:
+def matmul_dd(a: jax.Array, b: jax.Array, chunk: int = 64) -> jax.Array:
     """matmul_dd_pair rounded once to f32."""
     h, l = matmul_dd_pair(a, b, chunk=chunk)
     return h + l

@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_breath.ops import dd
 
-_SLICE = 8  # contraction slice width of the dd GEMM (matches dd.matmul_dd)
+_SLICE = 8  # dd-GEMM slice width; the XLA path defaults to 64 (cr_width_ab)
+# — both sit on the same MXU per-product error floor, so the paths agree to
+# the slice-accumulation bound (~1e-7) rather than bitwise.
 
 
 def _dd_gemm_unrolled(a, b, n_slices: int):
@@ -78,9 +80,10 @@ def _gammatone_kernel(basis_ref, fb_ref, frames_ref, out_ref, *,
     """The WHOLE gammatone channel for one clip, VMEM-resident:
     frames -> dd real-DFT -> |S| -> dd filterbank GEMM -> log1p_cr -> z-norm.
 
-    Numerics are bit-identical to the XLA path (stft_mag_dd + matmul_dd +
-    log1p_cr + znorm in features.py): same 8-wide contraction slices in the
-    same order, same two_sum accumulation, same HIGHEST-precision dots. The
+    Numerics match the XLA path (stft_mag_dd + matmul_dd + log1p_cr + znorm
+    in features.py) to the slice-accumulation floor: same two_sum
+    accumulation and HIGHEST-precision dots, 8-wide slices here vs the XLA
+    default 64 (identical measured error floor, tools/cr_width_ab.py). The
     XLA path's lax.scan round-trips its double-float carries through HBM
     every slice; here both GEMM chains keep carries in VMEM."""
     frames = frames_ref[0]    # [T, K]

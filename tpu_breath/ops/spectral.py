@@ -165,7 +165,7 @@ def _framedft_consts_dd(n_fft: int, window: str
     return hi, lo
 
 
-def stft_ri_dd(y: jax.Array, n_fft: int, hop_length: int, chunk: int = 8):
+def stft_ri_dd(y: jax.Array, n_fft: int, hop_length: int, chunk: int = 64):
     """STFT real/imag parts as double-float pairs (re_h, re_l, im_h, im_l),
     each [..., T, F] time-major. The DFT runs through the compensated GEMM
     (dd.matmul_dd_pair) against the dd-carried float64 basis, so the pairs
@@ -185,7 +185,7 @@ def stft_ri_dd(y: jax.Array, n_fft: int, hop_length: int, chunk: int = 8):
 
 
 def stft_mag_cr(y: jax.Array, n_fft: int, hop_length: int,
-                chunk: int = 8) -> jax.Array:
+                chunk: int = 64) -> jax.Array:
     """|STFT| rounded ONCE from quasi-float64: dd DFT pair -> dd squares ->
     dd sqrt -> f32. Matches the oracle's f32(|STFT_float64|) except where the
     true magnitude sits within ~1e-7 of an f32 rounding boundary — the chain
@@ -200,7 +200,7 @@ def stft_mag_cr(y: jax.Array, n_fft: int, hop_length: int,
 
 
 def stft_mag_dd(y: jax.Array, n_fft: int, hop_length: int,
-                chunk: int = 8) -> jax.Array:
+                chunk: int = 64) -> jax.Array:
     """|STFT| via the compensated GEMM (dd.matmul_dd): ~100x lower absolute
     error than the MXU block-DFT, for channels whose normalization amplifies
     matmul rounding past the parity budget (the gammatone z-score, PARITY.md).
