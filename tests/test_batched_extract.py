@@ -27,9 +27,9 @@ def test_scan_matches_dispatch_ragged(real_clips):
 
 
 def test_default_layout_selection(real_clips):
-    # Single-chunk batches take the dispatch path by default (scan would only
-    # wrap one iteration); multi-chunk batches default to scan. Both are just
-    # the public API — equality with explicit flags proves the default routes.
+    # scan=None defaults to the dispatch layout (scan is opt-in: it pays a
+    # fresh whole-dataset compile per batch geometry — features.py docstring);
+    # equality with the explicit flag pins the default route.
     wavs = np.asarray(real_clips[:2])
     f_auto, s_auto = extract_features_batched(wavs, SPEC, chunk=2)
     f_disp, s_disp = extract_features_batched(wavs, SPEC, chunk=2, scan=False)

@@ -24,8 +24,13 @@ from tpu_breath.utils import display
 def _build_feature_store(paths: Paths, spec: FeatureSpec,
                          write_npz: bool = False,
                          chunk: int = 128,
-                         scan: bool = False) -> ds.FeatureStore:
-    """wav -> batched device feature graph -> FeatureStore (+ caches)."""
+                         scan: bool = False
+                         ) -> tuple[ds.FeatureStore, "np.ndarray"]:
+    """wav -> batched device feature graph -> (FeatureStore, decoded wavs).
+
+    The decoded wav array (train rows first, then test — FeatureStore id
+    order) is returned so callers like `precompute --profile` don't pay the
+    decode twice."""
     from tpu_breath.features import extract_features_batched
 
     train_df, test_df = ds.load_frames(paths)
@@ -62,31 +67,30 @@ def _build_feature_store(paths: Paths, spec: FeatureSpec,
     if write_npz:
         display.print_start(f"writing npz parity files to {paths.precomputed_dir}")
         store.save_npz(paths.precomputed_dir, spec)
-    return store
+    return store, wavs
 
 
 def _load_or_build_store(paths: Paths, spec: FeatureSpec) -> ds.FeatureStore:
     if ds.FeatureStore.cache_exists(paths.feature_cache):
         display.print_info(f"feature cache hit: {paths.feature_cache}")
         return ds.FeatureStore.load_cache(paths.feature_cache, mmap=False)
-    return _build_feature_store(paths, spec)
+    return _build_feature_store(paths, spec)[0]
 
 
 def cmd_precompute(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
-    _build_feature_store(paths, DEFAULT_FEATURES, write_npz=args.npz,
-                         chunk=args.chunk, scan=getattr(args, "scan", False))
+    _, wavs = _build_feature_store(paths, DEFAULT_FEATURES,
+                                   write_npz=args.npz, chunk=args.chunk,
+                                   scan=getattr(args, "scan", False))
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         # Stage-level wall-clock attribution of the feature graph — the
         # observability this backend CAN provide (no device traces through
-        # the axon relay; see utils/profiling.py).
+        # the axon relay; see utils/profiling.py). Reuses the wavs decoded
+        # above (train rows lead the store order).
         from tpu_breath.utils import profiling
         train_df, _ = ds.load_frames(paths)
-        wav_paths = [os.path.join(paths.train_audio_dir,
-                                  ds.train_wav_name(i))
-                     for i in train_df["ID"][:2048]]
-        wavs = wav_io.load_wav_batch(wav_paths, DEFAULT_FEATURES.expected_len)
+        wavs = wavs[:min(2048, len(train_df))]
         display.print_start("profiling feature-graph stages")
         path = profiling.write_feature_profile(
             profile_dir, wavs, chunk=args.chunk,

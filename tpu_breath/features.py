@@ -50,11 +50,18 @@ def _pads(x, spec: FeatureSpec):
 
 
 def extract_features(y: jax.Array,
-                     spec: FeatureSpec = DEFAULT_FEATURES
+                     spec: FeatureSpec = DEFAULT_FEATURES,
+                     pallas_gt: bool | None = None
                      ) -> tuple[jax.Array, jax.Array]:
     """y[..., 16000] float32 -> (features[..., 9, 128, 63], scalars[..., 36]).
 
     Jit-friendly; vmap/shard over the leading batch axes as needed.
+
+    pallas_gt picks the gammatone backend EXPLICITLY (and must be static
+    under jit). None falls back to reading TPU_BREATH_PALLAS_GT at trace
+    time — fine for one-shot scripts, but a cached trace ignores later env
+    changes, so in-process A/Bs must pass the argument
+    (extract_features_batched threads it as a static jit arg).
     """
     sr, hop, n_fft = spec.sr, spec.hop_length, spec.n_fft
 
@@ -112,7 +119,9 @@ def extract_features(y: jax.Array,
     # dd.log1p_cr (the backend's native log1p is ~100 ulp off, which was the
     # dominant term: 2.3e-5 pre-norm -> 5.5e-3 post-norm).
     gt_fb = jnp.asarray(spectral.mel_matrix(sr, n_fft, spec.n_gammatone))
-    if _use_pallas_gammatone(y):
+    if pallas_gt is None:
+        pallas_gt = _use_pallas_gammatone(y)
+    if pallas_gt and y.ndim == 2:
         # Same math, one VMEM-resident Pallas kernel (no HBM round-trips for
         # the double-float GEMM carries); keeps the stft_mag_dd chain, ~1e-7
         # in |S| from the default path's stft_mag_cr (bound asserted in
@@ -160,20 +169,20 @@ def extract_features(y: jax.Array,
     return feats, scalars
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _extract_jit(y, spec):
-    return extract_features(y, spec)
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _extract_jit(y, spec, pallas_gt=None):
+    return extract_features(y, spec, pallas_gt)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _extract_scan_jit(wav_chunks, spec):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _extract_scan_jit(wav_chunks, spec, pallas_gt=None):
     """wav_chunks[C, chunk, L] -> ([C, chunk, ...], [C, chunk, S]) in ONE
     dispatch: lax.scan compiles the chunk body once and iterates it on
     device, so the per-chunk graph-execution overhead (the ~2 ms/subgraph
     floor that dominated the round-2 feature wall time, RESULTS.md) is paid
     once per dataset instead of once per chunk."""
     def body(carry, x):
-        return carry, extract_features(x, spec)
+        return carry, extract_features(x, spec, pallas_gt)
 
     _, out = jax.lax.scan(body, None, wav_chunks)
     return out
@@ -205,12 +214,16 @@ def extract_features_batched(wavs: np.ndarray,
     amortized by async dispatch with one final sync, while the scan layout
     pays a fresh whole-dataset compile per batch geometry (A/B:
     tools/scan_ab.py)."""
+    import os
     n = wavs.shape[0]
+    # env read HERE (call time), passed as a static jit arg: a cached trace
+    # keyed only on shapes would silently ignore later env toggles
+    pallas_gt = os.environ.get("TPU_BREATH_PALLAS_GT", "0") == "1"
     if scan is None:
         scan = False
     if scan:
         wav_chunks, _ = _chunked(wavs, chunk)
-        f, s = _extract_scan_jit(jnp.asarray(wav_chunks), spec)
+        f, s = _extract_scan_jit(jnp.asarray(wav_chunks), spec, pallas_gt)
         feats_out = np.asarray(f).reshape(-1, *f.shape[2:])[:n]
         scal_out = np.asarray(s).reshape(-1, s.shape[-1])[:n]
         return feats_out, scal_out
@@ -225,7 +238,8 @@ def extract_features_batched(wavs: np.ndarray,
         x = wavs[lo:hi]
         if hi - lo < chunk:  # keep a single compiled shape
             x = np.pad(x, ((0, chunk - (hi - lo)), (0, 0)))
-        pending.append((lo, hi, _extract_jit(jnp.asarray(x), spec)))
+        pending.append((lo, hi, _extract_jit(jnp.asarray(x), spec,
+                                             pallas_gt)))
     from tpu_breath.utils import display
     for lo, hi, (f, s) in display.progress_bar(pending, "extract"):
         feats_out[lo:hi] = np.asarray(f)[: hi - lo]

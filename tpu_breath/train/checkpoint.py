@@ -42,7 +42,14 @@ def latest_checkpoint(save_dir: str) -> str | None:
     best = None
     for name in os.listdir(save_dir):
         m = re.fullmatch(r"best_epoch(\d+)", name)
-        if m and (best is None or int(m.group(1)) > best[0]):
+        if not m:
+            continue
+        # metadata.json is written LAST in save(): a directory without it is
+        # a save interrupted mid-write — skip it so resume/predict fall back
+        # to the newest INTACT checkpoint instead of crashing on a partial
+        if not os.path.exists(os.path.join(save_dir, name, "metadata.json")):
+            continue
+        if best is None or int(m.group(1)) > best[0]:
             best = (int(m.group(1)), os.path.join(save_dir, name))
     return best[1] if best else None
 

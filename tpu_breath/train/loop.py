@@ -294,6 +294,14 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         per_host = -(-n_train // n_proc)
         min_shard = n_train - (n_proc - 1) * per_host
         steps_per_epoch = min_shard // local_batch
+        if steps_per_epoch < 1:
+            # the single-device check above ran on the pre-shard count; the
+            # smallest shard can still be under one local batch (or empty)
+            raise ValueError(
+                f"streaming layout needs one full batch on every process: "
+                f"smallest host shard has {max(min_shard, 0)} of {n_train} "
+                f"examples vs per-process batch {local_batch} "
+                f"({n_proc} processes)")
         data_sharding = mesh_lib.data_sharding(mesh)
         sample_f, sample_s = feats_host[:2], scals_host[:2]
         sample_y = jnp.asarray(labels_host[:2])

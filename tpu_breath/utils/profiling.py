@@ -91,6 +91,9 @@ def profile_feature_stages(wavs: np.ndarray, names=None, chunk: int = 128,
 
     stages = feature_stages()
     names = list(names or stages)
+    if wavs.shape[0] == 0:
+        raise ValueError("no clips to profile")
+    chunk = min(chunk, wavs.shape[0])  # small datasets: one whole-batch chunk
     b = (wavs.shape[0] // chunk) * chunk
     x = jnp.asarray(wavs[:b])
     rows = []
@@ -117,6 +120,7 @@ def write_feature_profile(profile_dir: str, wavs: np.ndarray,
                           chunk: int = 128, log_fn=print) -> str:
     os.makedirs(profile_dir, exist_ok=True)
     rows = profile_feature_stages(wavs, chunk=chunk, log_fn=log_fn)
+    chunk = min(chunk, wavs.shape[0])  # mirror profile_feature_stages
     path = os.path.join(profile_dir, "feature_stages.json")
     with open(path, "w") as f:
         json.dump({"n_clips": int((wavs.shape[0] // chunk) * chunk),
