@@ -32,40 +32,74 @@ def u32_to_f32(u: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(b, jnp.float32)
 
 
-def rank_select_u32(keys: jax.Array, rank: jax.Array) -> jax.Array:
-    """Exact rank-th smallest (0-indexed) of 1-D uint32 keys by 32-step
-    binary descent: per bit (high to low), one masked count decides whether
-    the answer has that bit set — 32 compare+sum passes over the data total
-    (a 256-bin-per-byte histogram variant costs 32x this and loses to the
-    sort it replaces; measured on-chip). rank may be traced."""
+def rank_select_u32(keys: jax.Array, rank: jax.Array,
+                    bits: int = 1) -> jax.Array:
+    """Exact rank-th smallest (0-indexed) of 1-D uint32 keys by radix
+    descent, `bits` bits per step (32 must divide by bits). rank may be
+    traced.
+
+    bits=1 is the 32-step binary descent: per bit (high to low), one masked
+    count decides whether the answer has that bit set — 32 compare+sum
+    passes over the data. (A 256-bin-per-byte histogram built as 256
+    separate compare-reduces costs 32x this and loses to the sort it
+    replaces; measured on-chip round 2.)
+
+    bits>1 descends a 2^bits-way radix tree in 32/bits steps; each step
+    builds its in-prefix bucket histogram as ONE fused one-hot reduction
+    (one read of the keys producing 2^bits counts), betting that XLA fuses
+    the [n, W] one-hot into the pass — cutting HBM traffic over the keys
+    from 32 reads to 32/bits. The result is bit-identical to bits=1 (pure
+    integer logic; asserted in tests). Shipped default decided by the
+    on-chip A/B in tools/select_ab.py."""
+    if 32 % bits:
+        raise ValueError(f"bits ({bits}) must divide 32")
     rank = rank.astype(jnp.int32)
     prefix = jnp.zeros((), jnp.uint32)
-    for bit in range(31, -1, -1):
-        cand = prefix | (jnp.uint32(1) << bit)
-        below = jnp.sum(keys < cand, dtype=jnp.int32)
-        # if fewer than rank+1 keys are < cand, the answer is >= cand
-        prefix = jnp.where(below <= rank, cand, prefix)
+    if bits == 1:
+        for bit in range(31, -1, -1):
+            cand = prefix | (jnp.uint32(1) << bit)
+            below = jnp.sum(keys < cand, dtype=jnp.int32)
+            # if fewer than rank+1 keys are < cand, the answer is >= cand
+            prefix = jnp.where(below <= rank, cand, prefix)
+        return prefix
+    w = 1 << bits
+    lanes = jnp.arange(w, dtype=jnp.uint32)
+    below = jnp.zeros((), jnp.int32)  # keys strictly under the prefix range
+    for hi in range(32 - bits, -1, -bits):
+        if hi + bits >= 32:
+            in_pref = jnp.ones(keys.shape, bool)
+        else:
+            in_pref = (keys >> (hi + bits)) == (prefix >> (hi + bits))
+        bucket = (keys >> hi) & jnp.uint32(w - 1)
+        hist = jnp.sum((bucket[:, None] == lanes[None, :]) & in_pref[:, None],
+                       axis=0, dtype=jnp.int32)          # [w], one fused pass
+        excl = jnp.cumsum(hist) - hist                   # exclusive prefix sum
+        ok = (below + excl) <= rank                      # monotone in lane
+        w_star = jnp.int32(jnp.sum(ok)) - 1              # last ok lane
+        prefix = prefix | (w_star.astype(jnp.uint32) << hi)
+        below = below + jnp.take(excl, w_star)
     return prefix
 
 
-def rank_value(x: jax.Array, rank) -> jax.Array:
+def rank_value(x: jax.Array, rank, bits: int = 1) -> jax.Array:
     """Exact rank-th smallest value of 1-D f32 x (rank static or traced)."""
     keys = f32_to_ordered_u32(x.astype(jnp.float32))
-    return u32_to_f32(rank_select_u32(keys, jnp.asarray(rank)))
+    return u32_to_f32(rank_select_u32(keys, jnp.asarray(rank), bits=bits))
 
 
-def percentile(x: jax.Array, q: float) -> jax.Array:
+def percentile(x: jax.Array, q: float, bits: int = 1) -> jax.Array:
     """np.percentile(x, q) (linear interpolation) of 1-D x, sort-free."""
     n = x.shape[-1]
     pos = q / 100.0 * (n - 1)
     lo = int(np.floor(pos))
     frac = np.float32(pos - lo)
-    v_lo = rank_value(x, lo)
-    v_hi = rank_value(x, min(lo + 1, n - 1)) if frac else v_lo
+    v_lo = rank_value(x, lo, bits=bits)
+    v_hi = rank_value(x, min(lo + 1, n - 1), bits=bits) if frac else v_lo
     return v_lo * (1 - frac) + v_hi * frac
 
 
-def masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
+def masked_median(values: jax.Array, mask: jax.Array,
+                  bits: int = 1) -> jax.Array:
     """np.median over values[mask] (0.0 if the mask is empty): masked
     entries map to +inf keys, two rank selects pick the middles."""
     flat_v = jnp.where(mask, values, jnp.inf).ravel().astype(jnp.float32)
@@ -73,7 +107,7 @@ def masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
     k = jnp.sum(mask)
     lo = jnp.maximum((k - 1) // 2, 0)
     hi = jnp.maximum(k // 2, 0)
-    v_lo = u32_to_f32(rank_select_u32(keys, lo))
-    v_hi = u32_to_f32(rank_select_u32(keys, hi))
+    v_lo = u32_to_f32(rank_select_u32(keys, lo, bits=bits))
+    v_hi = u32_to_f32(rank_select_u32(keys, hi, bits=bits))
     med = 0.5 * (v_lo + v_hi)
     return jnp.where(k > 0, med, 0.0)
