@@ -414,7 +414,9 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         row = {"epoch": epoch + 1, "train_loss": train_loss,
                "train_acc": train_acc, "val_loss": val["loss"],
                "val_acc": val["acc"], "val_auc": val["auc"],
-               "val_f1": val["f1"], "lr": float(schedule(state.step)),
+               "val_f1": val["f1"], "val_precision": val["precision"],
+               "val_recall": val["recall"],
+               "lr": float(schedule(state.step)),
                "sec": time.time() - t0}
         history.append(row)
         log_fn(f"[Epoch {epoch + 1:03d}] aug={'ON' if epoch >= cfg.warmup_epochs else 'OFF'} "
