@@ -39,3 +39,38 @@ def test_fused_step_matches_cached_features(real_clips):
 
     assert abs(float(stats_c["loss"]) - float(stats_f["loss"])) < 1e-5
     assert float(stats_c["acc"]) == float(stats_f["acc"])
+
+
+def test_fused_fit_history_identical_to_cached(real_clips, tmp_path):
+    """The production-scale property observed in the round-3 sweeps
+    (results/sweep: every fused_* history equals its cached_* counterpart on
+    every metric at every epoch), pinned at test scale: fit() in fused mode
+    and cached mode at the same seed produce IDENTICAL histories. Holds
+    because the in-step feature graph reproduces the precompute graph
+    bit-for-bit and all per-epoch randomness is fold_in(seed, epoch)-derived
+    (pure function of the config, not of the input layout)."""
+    import jax
+    from tpu_breath.train import loop
+
+    wavs = np.tile(np.asarray(real_clips), (4, 1))          # 16 clips
+    labels = np.tile(np.array([0, 1, 1, 0], np.float32), 4)
+    feats, scals = jax.jit(lambda w: extract_features(w, SPEC))(
+        jnp.asarray(wavs))
+    feats, scals = np.asarray(feats), np.asarray(scals)
+    cfg = TrainCfg(num_epochs=3, base_lr=1e-3, batch_size=8,
+                   eval_batch_size=8, warmup_epochs=1,  # aug ON from epoch 1
+                   patience=99, seed=3)
+    mk = lambda: CNN8(num_scalar_features=SPEC.n_scalars, dtype=jnp.float32)
+
+    res_c = loop.fit(mk(), (feats, scals), (feats, scals), labels, labels,
+                     cfg, save_dir=None, log_fn=lambda *_: None)
+    res_f = loop.fit(mk(), (wavs, None), (feats, scals), labels, labels,
+                     cfg, save_dir=None, log_fn=lambda *_: None,
+                     fused_spec=SPEC)
+
+    assert len(res_c.history) == len(res_f.history) == 3
+    for rc, rf in zip(res_c.history, res_f.history):
+        for k in rc:
+            if k == "sec":
+                continue
+            assert rc[k] == rf[k], (k, rc, rf)
