@@ -203,3 +203,21 @@ def test_resume_matches_uninterrupted(toy_data, tmp_path):
         for k in ("train_loss", "train_acc", "val_loss", "val_acc", "lr"):
             assert row[k] == ref[k], (row["epoch"], k, row[k], ref[k])
     assert resumed.best_val_acc == full.best_val_acc
+
+
+def test_latest_checkpoint_skips_interrupted_save(tmp_path):
+    """metadata.json is written LAST in checkpoint.save(); a directory
+    without it is a save that died mid-write and must be skipped so
+    resume/predict fall back to the newest INTACT checkpoint."""
+    from tpu_breath.train import checkpoint as ckpt_lib
+
+    good = tmp_path / "best_epoch003"
+    good.mkdir()
+    (good / "metadata.json").write_text('{"epoch": 3, "val_acc": 0.7}')
+    partial = tmp_path / "best_epoch007"  # newer, but no metadata.json
+    partial.mkdir()
+
+    assert ckpt_lib.latest_checkpoint(str(tmp_path)) == str(good)
+    # only partial dirs -> behave like no checkpoint at all
+    (good / "metadata.json").unlink()
+    assert ckpt_lib.latest_checkpoint(str(tmp_path)) is None
