@@ -26,6 +26,36 @@ def test_scan_matches_dispatch_ragged(real_clips):
     assert np.isfinite(f_scan).all() and np.isfinite(s_scan).all()
 
 
+def test_mesh_matches_dispatch(real_clips):
+    # Mesh-sharded extraction (precompute --mesh): the batch axis of each
+    # dispatch is sharded over a 4-device mesh; per-clip math means zero
+    # collectives. The feature channels (everything z-scored / argmax-gated)
+    # are bit-identical; the SPMD-partitioned module may fuse the scalar
+    # descriptors' long clip-axis reductions differently, so scalars carry a
+    # ~1-ulp tolerance (measured max 9.5e-7). Also covers the ragged tail
+    # (3 clips, super-chunk 4 -> pad + trim).
+    import jax
+    from tpu_breath.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:4])
+    wavs = np.asarray(real_clips[:3])
+    f_mesh, s_mesh = extract_features_batched(wavs, SPEC, chunk=1, mesh=mesh)
+    f_disp, s_disp = extract_features_batched(wavs, SPEC, chunk=1, scan=False)
+    np.testing.assert_array_equal(f_mesh, f_disp)
+    np.testing.assert_allclose(s_mesh, s_disp, rtol=1e-6, atol=2e-6)
+
+
+def test_mesh_rejects_scan(real_clips):
+    import jax
+    import pytest
+    from tpu_breath.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:4])
+    with pytest.raises(ValueError, match="scan=True with mesh"):
+        extract_features_batched(np.asarray(real_clips[:2]), SPEC, chunk=1,
+                                 scan=True, mesh=mesh)
+
+
 def test_default_layout_selection(real_clips):
     # scan=None defaults to the dispatch layout (scan is opt-in: it pays a
     # fresh whole-dataset compile per batch geometry — features.py docstring);

@@ -33,6 +33,27 @@ def test_rank_select_exact_all_widths(bits):
 
 
 @pytest.mark.parametrize("bits", [1, 4])
+def test_multi_rank_matches_scalar(bits):
+    # one shared descent for R ranks must be bit-identical to R descents
+    keys = _keys()
+    ranks = RNG.integers(0, len(keys), 16)
+    multi = np.asarray(jax.jit(
+        lambda r: select.rank_select_u32_multi(jnp.asarray(keys), r,
+                                               bits=bits)
+    )(jnp.asarray(ranks)))
+    np.testing.assert_array_equal(multi, np.sort(keys)[ranks])
+
+
+def test_percentiles_pair_matches_numpy():
+    x = np.random.default_rng(13).standard_normal(1000).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda v: select.percentiles(v, (90.0, 10.0))
+    )(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.percentile(x, [90, 10]),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("bits", [1, 4])
 def test_percentile_matches_numpy(bits):
     x = np.random.default_rng(11).standard_normal(1000).astype(np.float32)
     for q in (10, 50, 90):

@@ -24,7 +24,8 @@ from tpu_breath.utils import display
 def _build_feature_store(paths: Paths, spec: FeatureSpec,
                          write_npz: bool = False,
                          chunk: int = 128,
-                         scan: bool = False
+                         scan: bool = False,
+                         mesh=None
                          ) -> tuple[ds.FeatureStore, "np.ndarray"]:
     """wav -> batched device feature graph -> (FeatureStore, decoded wavs).
 
@@ -57,7 +58,7 @@ def _build_feature_store(paths: Paths, spec: FeatureSpec,
     display.print_start("extracting features on device")
     t0 = time.time()
     feats, scals = extract_features_batched(wavs, spec, chunk=chunk,
-                                            scan=scan)
+                                            scan=scan, mesh=mesh)
     dt = time.time() - t0
     display.print_success(
         f"{len(ids)} clips in {dt:.1f}s ({len(ids) / dt:.1f} clips/s)")
@@ -79,9 +80,11 @@ def _load_or_build_store(paths: Paths, spec: FeatureSpec) -> ds.FeatureStore:
 
 def cmd_precompute(args) -> None:
     paths = Paths(root=args.root, out_root=args.out_root)
+    mesh = _resolve_mesh(getattr(args, "mesh", "off"))
     _, wavs = _build_feature_store(paths, DEFAULT_FEATURES,
                                    write_npz=args.npz, chunk=args.chunk,
-                                   scan=getattr(args, "scan", False))
+                                   scan=getattr(args, "scan", False),
+                                   mesh=mesh)
     profile_dir = getattr(args, "profile", None)
     if profile_dir:
         # Stage-level wall-clock attribution of the feature graph — the
@@ -304,6 +307,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="extract via ONE lax.scan dispatch over chunk "
                          "bodies (2.9x device throughput vs per-chunk "
                          "dispatch; pays a per-dataset-geometry compile)")
+    sp.add_argument("--mesh", default="off", metavar="auto|off|N",
+                    help="data-parallel extraction: shard each dispatch's "
+                         "batch over a device mesh (mesh.size x chunk clips "
+                         "per dispatch, zero collectives)")
     sp.set_defaults(fn=cmd_precompute)
 
     for name, fn in (("train", cmd_train), ("e2e", cmd_e2e)):

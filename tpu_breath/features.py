@@ -200,7 +200,8 @@ def _chunked(wavs: np.ndarray, chunk: int) -> tuple[np.ndarray, int]:
 def extract_features_batched(wavs: np.ndarray,
                              spec: FeatureSpec = DEFAULT_FEATURES,
                              chunk: int = 128,
-                             scan: bool | None = None
+                             scan: bool | None = None,
+                             mesh=None
                              ) -> tuple[np.ndarray, np.ndarray]:
     """Host convenience: run the jitted graph over a large array of clips in
     device-sized chunks (the CQT frame expansion is ~6.3 MB/clip, so chunking
@@ -213,7 +214,19 @@ def extract_features_batched(wavs: np.ndarray,
     layout stays the default because per-chunk dispatch overhead is already
     amortized by async dispatch with one final sync, while the scan layout
     pays a fresh whole-dataset compile per batch geometry (A/B:
-    tools/scan_ab.py)."""
+    tools/scan_ab.py).
+
+    mesh: a 1-D jax.sharding.Mesh data-parallelizes extraction — each
+    dispatch covers mesh.size * chunk clips with the batch axis sharded over
+    the mesh's data axis. Extraction is per-clip math (every reduction is
+    over a clip's own axes), so XLA partitions the graph with ZERO
+    collectives. Feature channels are bit-identical to mesh=None; the scalar
+    descriptors can differ by ~1 ulp because the partitioned module may fuse
+    their long clip-axis reductions differently
+    (tests/test_batched_extract.py). This is the scaling story for the
+    reference's precompute stage (SURVEY.md §5: the analogue of scaling
+    sequence length here is scaling the batched feature graph across the
+    mesh; reference hot loop src/precompute/process.py:25-108)."""
     import os
     n = wavs.shape[0]
     # env read HERE (call time), passed as a static jit arg: a cached trace
@@ -221,6 +234,13 @@ def extract_features_batched(wavs: np.ndarray,
     pallas_gt = os.environ.get("TPU_BREATH_PALLAS_GT", "0") == "1"
     if scan is None:
         scan = False
+    if mesh is not None:
+        if scan:
+            raise ValueError("scan=True with mesh is unsupported — the scan "
+                             "layout's win is per-dispatch overhead, which "
+                             "the mesh path already amortizes over "
+                             "mesh.size chunks per dispatch")
+        return _extract_sharded(wavs, spec, chunk, mesh, pallas_gt)
     if scan:
         wav_chunks, _ = _chunked(wavs, chunk)
         f, s = _extract_scan_jit(jnp.asarray(wav_chunks), spec, pallas_gt)
@@ -242,6 +262,48 @@ def extract_features_batched(wavs: np.ndarray,
                                              pallas_gt)))
     from tpu_breath.utils import display
     for lo, hi, (f, s) in display.progress_bar(pending, "extract"):
+        feats_out[lo:hi] = np.asarray(f)[: hi - lo]
+        scal_out[lo:hi] = np.asarray(s)[: hi - lo]
+    return feats_out, scal_out
+
+
+def _extract_sharded(wavs: np.ndarray, spec: FeatureSpec, chunk: int,
+                     mesh, pallas_gt: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Data-parallel extraction over a device mesh: per dispatch, a
+    [mesh.size * chunk, 16000] super-chunk is placed batch-sharded and the
+    jitted graph partitions onto every device (see extract_features_batched).
+
+    Multi-process runs contribute process-local rows through
+    jax.make_array_from_process_local_data (the same host-sharded input path
+    the streaming trainer uses, data/loader.py); single-process runs
+    device_put the global super-chunk."""
+    import jax
+    from tpu_breath.parallel import mesh as mesh_lib
+
+    sharding = mesh_lib.data_sharding(mesh)
+    fn = jax.jit(lambda y: extract_features(y, spec, pallas_gt),
+                 in_shardings=sharding, out_shardings=(sharding, sharding))
+
+    n = wavs.shape[0]
+    super_chunk = chunk * mesh.size
+
+    def _place(x: np.ndarray):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
+    feats_out = np.empty((n, spec.n_channels, spec.n_mels, spec.t_fixed),
+                         np.float32)
+    scal_out = np.empty((n, spec.n_scalars), np.float32)
+    pending = []
+    for lo in range(0, n, super_chunk):
+        hi = min(lo + super_chunk, n)
+        x = wavs[lo:hi]
+        if hi - lo < super_chunk:  # keep one compiled (per-device) shape
+            x = np.pad(x, ((0, super_chunk - (hi - lo)), (0, 0)))
+        pending.append((lo, hi, fn(_place(x))))
+    from tpu_breath.utils import display
+    for lo, hi, (f, s) in display.progress_bar(pending, "extract[mesh]"):
         feats_out[lo:hi] = np.asarray(f)[: hi - lo]
         scal_out[lo:hi] = np.asarray(s)[: hi - lo]
     return feats_out, scal_out

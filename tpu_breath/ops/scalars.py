@@ -191,7 +191,13 @@ def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
     S2048 = stft2048_mag
     if S2048 is None:
         S2048 = spectral.stft_mag(y, 2048, hop_length)
-    S2048_h512 = spectral.stft_mag(y, 2048, 512)  # rolloff keeps librosa's default hop
+    # rolloff keeps librosa's default hop of 512; hop-512 frames start at
+    # t*512 = (2t)*256, so they are exactly every 2nd hop-256 frame — slice
+    # the shared spectrogram instead of paying a second 2048-pt STFT
+    if hop_length == 256:
+        S2048_h512 = S2048[..., ::2]
+    else:
+        S2048_h512 = spectral.stft_mag(y, 2048, 512)
     nyq = sr / 2
     centroid = spectral_centroid(S2048, sr, 2048)
     bandwidth = spectral_bandwidth(S2048, sr, 2048)
@@ -231,12 +237,12 @@ def extract_scalars(y: jax.Array, sr: int = 16_000, hop_length: int = 256,
     xm, xs = _mstd(flux)
     feats += [low_ratio, xm, xs, jnp.max(flux, axis=-1)]
 
-    # percentiles via radix select, not a [16000] sort (ops/select.py)
+    # percentiles via radix select, not a [16000] sort (ops/select.py);
+    # both quantiles' bracketing ranks resolve in ONE shared descent
     from tpu_breath.ops import select
     abs_y = jnp.abs(y)
-    p90 = _vmap_leading(select.percentile, abs_y, 90)
-    p10 = _vmap_leading(select.percentile, abs_y, 10)
-    feats += [_skew(y), _kurtosis(y), p90, p10]
+    p = _vmap_leading(lambda v: select.percentiles(v, (90.0, 10.0)), abs_y)
+    feats += [_skew(y), _kurtosis(y), p[..., 0], p[..., 1]]
 
     ac = dft.autocorr_full(y)
     ac = ac / ac[..., :1]

@@ -81,33 +81,70 @@ def rank_select_u32(keys: jax.Array, rank: jax.Array,
     return prefix
 
 
+def rank_select_u32_multi(keys: jax.Array, ranks: jax.Array,
+                          bits: int = 1) -> jax.Array:
+    """rank_select_u32 for a VECTOR of ranks in one shared descent: every
+    pass reads the keys once and resolves all R candidate counts together
+    ([R, n] compare + reduce), so R nearby order statistics cost one
+    descent's worth of sequential passes instead of R (the p90/p10 pair and
+    the median's lo/hi pair each halve-to-quarter their pass count).
+    Bit-identical to R independent rank_select_u32 calls (pure integer
+    logic; asserted in tests/test_select.py)."""
+    ranks = jnp.asarray(ranks).astype(jnp.int32)
+    if bits != 1:
+        # the wide-radix alternative keeps its measured-negative scalar form
+        return jax.vmap(lambda r: rank_select_u32(keys, r, bits=bits))(ranks)
+    prefix = jnp.zeros(ranks.shape, jnp.uint32)
+    for bit in range(31, -1, -1):
+        cand = prefix | (jnp.uint32(1) << bit)
+        below = jnp.sum(keys[None, :] < cand[:, None], axis=-1,
+                        dtype=jnp.int32)
+        prefix = jnp.where(below <= ranks, cand, prefix)
+    return prefix
+
+
 def rank_value(x: jax.Array, rank, bits: int = 1) -> jax.Array:
     """Exact rank-th smallest value of 1-D f32 x (rank static or traced)."""
     keys = f32_to_ordered_u32(x.astype(jnp.float32))
     return u32_to_f32(rank_select_u32(keys, jnp.asarray(rank), bits=bits))
 
 
+def percentiles(x: jax.Array, qs, bits: int = 1) -> jax.Array:
+    """np.percentile(x, qs) (linear interpolation) of 1-D x for a tuple of
+    static quantiles, sort-free: ALL bracketing ranks resolve in one shared
+    multi-rank descent (two quantiles cost 32 passes total, not 128)."""
+    n = x.shape[-1]
+    los, fracs = [], []
+    for q in qs:
+        pos = q / 100.0 * (n - 1)
+        lo = int(np.floor(pos))
+        los.append(lo)
+        fracs.append(np.float32(pos - lo))
+    ranks = np.array([[lo, min(lo + 1, n - 1)] for lo in los],
+                     np.int32).ravel()
+    keys = f32_to_ordered_u32(x.astype(jnp.float32))
+    vals = u32_to_f32(rank_select_u32_multi(keys, jnp.asarray(ranks),
+                                            bits=bits)).reshape(len(qs), 2)
+    frac = jnp.asarray(np.array(fracs, np.float32))
+    return vals[:, 0] * (1 - frac) + vals[:, 1] * frac
+
+
 def percentile(x: jax.Array, q: float, bits: int = 1) -> jax.Array:
     """np.percentile(x, q) (linear interpolation) of 1-D x, sort-free."""
-    n = x.shape[-1]
-    pos = q / 100.0 * (n - 1)
-    lo = int(np.floor(pos))
-    frac = np.float32(pos - lo)
-    v_lo = rank_value(x, lo, bits=bits)
-    v_hi = rank_value(x, min(lo + 1, n - 1), bits=bits) if frac else v_lo
-    return v_lo * (1 - frac) + v_hi * frac
+    return percentiles(x, (q,), bits=bits)[0]
 
 
 def masked_median(values: jax.Array, mask: jax.Array,
                   bits: int = 1) -> jax.Array:
     """np.median over values[mask] (0.0 if the mask is empty): masked
-    entries map to +inf keys, two rank selects pick the middles."""
+    entries map to +inf keys, one shared two-rank descent picks the
+    middles."""
     flat_v = jnp.where(mask, values, jnp.inf).ravel().astype(jnp.float32)
     keys = f32_to_ordered_u32(flat_v)
     k = jnp.sum(mask)
     lo = jnp.maximum((k - 1) // 2, 0)
     hi = jnp.maximum(k // 2, 0)
-    v_lo = u32_to_f32(rank_select_u32(keys, lo, bits=bits))
-    v_hi = u32_to_f32(rank_select_u32(keys, hi, bits=bits))
-    med = 0.5 * (v_lo + v_hi)
+    v = u32_to_f32(rank_select_u32_multi(keys, jnp.stack([lo, hi]),
+                                         bits=bits))
+    med = 0.5 * (v[0] + v[1])
     return jnp.where(k > 0, med, 0.0)

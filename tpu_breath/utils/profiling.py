@@ -74,10 +74,12 @@ def feature_stages() -> dict:
                                                         128),
         "hilbert": dft.hilbert_envelope,
         "autocorr": dft.autocorr_full,
-        "find_peaks": lambda y: jax.vmap(
-            lambda e: jnp.stack(
-                peaks.find_peaks_stats(e, jnp.mean(e), sr // 10))
-        )(jnp.abs(y)),
+        # the production path (scalars.py uses the batched variant; the
+        # per-clip vmap of find_peaks_stats measures ~3x slower and is NOT
+        # what ships)
+        "find_peaks": lambda y: jnp.stack(
+            peaks.find_peaks_stats_batched(
+                jnp.abs(y), jnp.mean(jnp.abs(y), axis=-1), sr // 10)),
     }
 
 
