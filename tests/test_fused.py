@@ -74,3 +74,45 @@ def test_fused_fit_history_identical_to_cached(real_clips, tmp_path):
             if k == "sec":
                 continue
             assert rc[k] == rf[k], (k, rc, rf)
+
+
+def test_fused_step_mesh_matches_single(real_clips):
+    """Fused wav->train under a 4-device mesh (the streamed-batch step,
+    train --fused --mesh) vs the single-device fused step: same loss/acc and
+    the same parameter update (documented f32 reduction-order escape hatch,
+    as in tests/test_parallel.py)."""
+    from tpu_breath.parallel import mesh as mesh_lib
+    from tpu_breath.train.loop import make_train_step_batched
+
+    b = 4
+    wavs = jnp.asarray(real_clips[:b])
+    labels = jnp.asarray(np.array([0, 1, 0, 1], np.float32))
+    cfg = TrainCfg(num_epochs=1, batch_size=b, warmup_epochs=99)  # aug off
+    model = CNN8(num_scalar_features=SPEC.n_scalars, dropout_rate=0.0,
+                 dtype=jnp.float32)
+    feats, scals = jax.jit(lambda w: extract_features(w, SPEC))(wavs)
+    sample = Batch(feats[:2], scals[:2], labels[:2])
+    key = jax.random.PRNGKey(0)
+    dummy_scals = jnp.zeros((b, 0), jnp.float32)
+
+    state1, tx1, _ = create_state(model, jax.random.PRNGKey(1), cfg, 1, sample)
+    step1 = make_train_step(model, tx1, cfg, fused_spec=SPEC)
+    new1, stats1 = step1(state1, wavs, dummy_scals, labels, jnp.arange(b),
+                         key, jnp.asarray(False))
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:4])
+    state4, tx4, _ = create_state(model, jax.random.PRNGKey(1), cfg, 1, sample)
+    state4 = jax.device_put(state4, mesh_lib.replicated(mesh))
+    step4 = make_train_step_batched(model, tx4, cfg, mesh, fused_spec=SPEC)
+    batch = Batch(jax.device_put(wavs, mesh_lib.data_sharding(mesh)), None,
+                  jax.device_put(labels, mesh_lib.data_sharding(mesh)))
+    new4, stats4 = step4(state4, batch, key, jnp.asarray(False))
+
+    assert abs(float(stats1["loss"]) - float(stats4["loss"])) < 1e-5
+    assert float(stats1["acc"]) == float(stats4["acc"])
+    p1 = np.concatenate([np.ravel(jax.device_get(x))
+                         for x in jax.tree.leaves(new1.params)])
+    p4 = np.concatenate([np.ravel(jax.device_get(x))
+                         for x in jax.tree.leaves(new4.params)])
+    assert np.max(np.abs(p1 - p4)) < 3 * cfg.base_lr
+    assert (p1 != p4).mean() < 1e-3, (p1 != p4).mean()

@@ -57,7 +57,7 @@ def _free_port() -> int:
 
 
 def _spawn(pid: int, nproc: int, port: int, root: str, out: str,
-           n_local_devices: int):
+           n_local_devices: int, cmd: str = "train"):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -65,7 +65,7 @@ def _spawn(pid: int, nproc: int, port: int, root: str, out: str,
     env["PYTHONPATH"] = REPO  # drop the sitecustomize axon pre-import
     return subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
-         str(pid), str(nproc), str(port), root, out],
+         str(pid), str(nproc), str(port), root, out, cmd],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 
 
@@ -117,3 +117,80 @@ def test_two_process_mesh_train(synth_root, tmp_path):
     meta = json.load(open(os.path.join(str(out), "checkpoints", "cnn8",
                                        sorted(ckpts)[-1], "metadata.json")))
     assert 0.0 <= meta["val_acc"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def wav_root(tmp_path_factory):
+    """Tiny real-wav dataset: 6 train + 3 test clips of 16-bit PCM noise."""
+    import re
+    import wave
+
+    root = tmp_path_factory.mktemp("mp_wav_input")
+    rng = np.random.default_rng(7)
+    (root / "train").mkdir()
+    (root / "test").mkdir()
+    ids_tr = [f"breath_{'E' if i % 2 else 'I'}_{i:03d}" for i in range(6)]
+    ids_te = [f"probe_{i:03d}" for i in range(3)]
+    with open(root / "train.csv", "w") as f:
+        f.write("ID,Target\n")
+        for i, fid in enumerate(ids_tr):
+            f.write(f"{fid},{'E' if i % 2 else 'I'}\n")
+    with open(root / "test.csv", "w") as f:
+        f.write("ID\n" + "\n".join(ids_te) + "\n")
+
+    def _write(path):
+        samples = (rng.standard_normal(16_000) * 3000).astype(np.int16)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16_000)
+            w.writeframes(samples.tobytes())
+
+    for fid in ids_tr:
+        _write(root / "train" / re.sub(r"_[EI]_", "_", fid + ".wav"))
+    for fid in ids_te:
+        _write(root / "test" / (fid + ".wav"))
+    return root
+
+
+def test_two_process_mesh_precompute(wav_root, tmp_path):
+    """`precompute --mesh 8` under two real processes: each host decodes the
+    full wav set, contributes its process-local rows of every super-chunk
+    (features._extract_sharded), results allgather back to every host, and
+    only process 0 writes the feature cache. The cache must match a
+    single-process extraction of the same wavs."""
+    port = _free_port()
+    procs = [_spawn(i, 2, port, str(wav_root), str(tmp_path / "out"), 4,
+                    cmd="precompute") for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process precompute timed out")
+        logs.append(stdout)
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{log[-4000:]}"
+
+    from tpu_breath.config import FeatureSpec
+    from tpu_breath.data import dataset as ds_mod, wav
+    from tpu_breath.features import extract_features_batched
+
+    paths = Paths(root=str(wav_root))
+    store = ds_mod.FeatureStore.load_cache(paths.feature_cache, mmap=False)
+    assert len(store.ids) == 9
+
+    train_df, test_df = ds_mod.load_frames(paths)
+    wav_paths = [os.path.join(paths.train_audio_dir,
+                              ds_mod.train_wav_name(i))
+                 for i in train_df["ID"]]
+    wav_paths += [os.path.join(paths.test_audio_dir, ds_mod.test_wav_name(i))
+                  for i in test_df["ID"]]
+    wavs = wav.load_wav_batch(wav_paths, 16_000)
+    f_ref, s_ref = extract_features_batched(wavs, FeatureSpec(), chunk=2)
+    # channels are bit-identical to the single-device path; scalars carry the
+    # same ~1-ulp fusion tolerance as tests/test_batched_extract.py
+    np.testing.assert_array_equal(store.features, f_ref)
+    np.testing.assert_allclose(store.scalars, s_ref, rtol=1e-6, atol=2e-6)

@@ -64,10 +64,13 @@ def _build_feature_store(paths: Paths, spec: FeatureSpec,
         f"{len(ids)} clips in {dt:.1f}s ({len(ids) / dt:.1f} clips/s)")
 
     store = ds.FeatureStore(ids, feats, scals)
-    store.save_cache(paths.feature_cache)
-    if write_npz:
-        display.print_start(f"writing npz parity files to {paths.precomputed_dir}")
-        store.save_npz(paths.precomputed_dir, spec)
+    import jax
+    if jax.process_index() == 0:  # every process holds the full store;
+        store.save_cache(paths.feature_cache)  # only one writes it
+        if write_npz:
+            display.print_start(
+                f"writing npz parity files to {paths.precomputed_dir}")
+            store.save_npz(paths.precomputed_dir, spec)
     return store, wavs
 
 

@@ -273,10 +273,13 @@ def _extract_sharded(wavs: np.ndarray, spec: FeatureSpec, chunk: int,
     [mesh.size * chunk, 16000] super-chunk is placed batch-sharded and the
     jitted graph partitions onto every device (see extract_features_batched).
 
-    Multi-process runs contribute process-local rows through
-    jax.make_array_from_process_local_data (the same host-sharded input path
-    the streaming trainer uses, data/loader.py); single-process runs
-    device_put the global super-chunk."""
+    Multi-process runs: every host decodes the full dataset (decode is ~2 s
+    for 5,000 clips), each contributes only the contiguous row block its
+    addressable devices own via jax.make_array_from_process_local_data (the
+    same host-sharded input path the streaming trainer uses, data/loader.py),
+    and results are re-materialized on every host with
+    multihost_utils.process_allgather so all processes return the full
+    feature arrays (tests/test_multiprocess.py runs this branch for real)."""
     import jax
     from tpu_breath.parallel import mesh as mesh_lib
 
@@ -286,11 +289,28 @@ def _extract_sharded(wavs: np.ndarray, spec: FeatureSpec, chunk: int,
 
     n = wavs.shape[0]
     super_chunk = chunk * mesh.size
+    pcount = jax.process_count()
+    if pcount > 1 and mesh.size % pcount:
+        raise ValueError(f"mesh size {mesh.size} must be a multiple of the "
+                         f"process count {pcount}")
 
     def _place(x: np.ndarray):
-        if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(sharding, x)
+        if pcount > 1:
+            # jax.devices() orders devices process-contiguously, so process p
+            # owns the p-th contiguous row block of the batch-sharded array;
+            # make_array_from_process_local_data validates the layout.
+            rpp = super_chunk // pcount
+            pidx = jax.process_index()
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x[pidx * rpp:(pidx + 1) * rpp]),
+                x.shape)
         return jax.device_put(x, sharding)
+
+    def _fetch(a) -> np.ndarray:
+        if pcount > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
 
     feats_out = np.empty((n, spec.n_channels, spec.n_mels, spec.t_fixed),
                          np.float32)
@@ -304,6 +324,6 @@ def _extract_sharded(wavs: np.ndarray, spec: FeatureSpec, chunk: int,
         pending.append((lo, hi, fn(_place(x))))
     from tpu_breath.utils import display
     for lo, hi, (f, s) in display.progress_bar(pending, "extract[mesh]"):
-        feats_out[lo:hi] = np.asarray(f)[: hi - lo]
-        scal_out[lo:hi] = np.asarray(s)[: hi - lo]
+        feats_out[lo:hi] = _fetch(f)[: hi - lo]
+        scal_out[lo:hi] = _fetch(s)[: hi - lo]
     return feats_out, scal_out
