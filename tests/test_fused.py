@@ -115,4 +115,9 @@ def test_fused_step_mesh_matches_single(real_clips):
     p4 = np.concatenate([np.ravel(jax.device_get(x))
                          for x in jax.tree.leaves(new4.params)])
     assert np.max(np.abs(p1 - p4)) < 3 * cfg.base_lr
-    assert (p1 != p4).mean() < 1e-3, (p1 != p4).mean()
+    # Same escape hatch as tests/test_parallel.py: XLA:CPU conv reductions
+    # are thread-nondeterministic at the ulp level, and Adam's first step
+    # turns a sign-fragile near-zero gradient into a full +/-lr move. Bound
+    # the fraction of meaningfully-different params instead of bit equality.
+    mismatched = np.abs(p1 - p4) > 1e-4
+    assert mismatched.mean() < 1e-3, mismatched.mean()
