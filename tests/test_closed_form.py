@@ -74,6 +74,86 @@ def test_mel_filterbank_matches_independent_derivation(n_mels, fmax):
     np.testing.assert_allclose(shared, indep, rtol=1e-9, atol=1e-12)
 
 
+def vqt_fft_basis_independent(sr, freqs, bins_per_octave, filter_scale=1.0):
+    """From-scratch re-derivation of librosa 0.10's __vqt_filter_fft DENSE
+    output (librosa/core/constantq.py semantics, written directly from the
+    paper definition — no code shared with dsp_np.wavelet_basis /
+    _vqt_filter_fft): l1-normalized periodic-Hann-windowed complex
+    exponentials of length Q*sr/f (Q = filter_scale/alpha, alpha the
+    geometric relative bandwidth), centered in a pow2 pad, scaled by
+    length/n_fft, transformed by an EXPLICIT positive-frequency DFT matrix
+    (not np.fft). Returns (dense_basis [n, n_fft//2+1] complex128, n_fft)."""
+    import math
+    r2 = 2.0 ** (2.0 / bins_per_octave)
+    q = filter_scale * (r2 + 1) / (r2 - 1)
+    lengths = q * sr / np.asarray(freqs, np.float64)
+    n_fft = 1 << int(math.ceil(math.log2(lengths.max())))
+    basis = np.zeros((len(freqs), n_fft), np.complex128)
+    for i, (ln, f) in enumerate(zip(lengths, freqs)):
+        start, stop = math.floor(-ln / 2.0), math.floor(ln / 2.0)
+        n = stop - start
+        t = (start + np.arange(n, dtype=np.float64)) / sr
+        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+        sig = np.exp(2j * np.pi * f * t) * win
+        sig /= np.abs(sig).sum()
+        off = (n_fft - n) // 2
+        basis[i, off:off + n] = sig * (ln / n_fft)
+    k = np.arange(1 + n_fft // 2, dtype=np.float64)
+    dft = np.exp(-2j * np.pi * np.outer(k, np.arange(n_fft)) / n_fft)
+    return basis @ dft.T, n_fft
+
+
+def sparsify_rows_independent(x, quantile=0.01):
+    """Independent librosa.util.sparsify_rows: per row, zero the smallest
+    |.| entries whose cumulative l1 fraction stays below quantile (keep from
+    the first sorted index where the cumulative reaches it)."""
+    out = np.zeros_like(x)
+    for i in range(x.shape[0]):
+        mags = np.abs(x[i])
+        order = np.sort(mags)
+        cum = np.cumsum(order) / mags.sum()
+        thresh = order[np.searchsorted(cum, quantile, side="left")]
+        keep = mags >= thresh
+        out[i, keep] = x[i, keep]
+    return out
+
+
+@pytest.mark.parametrize("tuning_idx", [0, 50, 99])
+def test_vqt_filter_basis_matches_independent_derivation(tuning_idx):
+    """The OTHER constant the device graph shares with the oracle: the
+    per-octave CQT wavelet FFT basis (ops/cqt.py _vqt_consts ->
+    dsp_np._vqt_filter_fft). A from-scratch derivation (explicit DFT matrix,
+    independent Q/length/window formulas) must reproduce it for tunings
+    across the estimation grid — catches a systematic error in the shared
+    wavelet code that every oracle-vs-device parity test would miss."""
+    bpo, n_oct = SPEC.cqt_bins_per_octave, SPEC.cqt_n_octaves
+    tau = -0.5 + tuning_idx * 0.01
+    fmin_t = SPEC.cqt_fmin * 2.0 ** (tau / bpo)
+    k = np.arange((n_oct - 1) * bpo, n_oct * bpo)
+    freqs_top = fmin_t * 2.0 ** (k / bpo)
+
+    shared_dense, n_fft_s = oracle._vqt_filter_fft(SR, freqs_top, bpo,
+                                                   sparsity=0.0)
+    indep_dense, n_fft_i = vqt_fft_basis_independent(SR, freqs_top, bpo)
+    assert n_fft_s == n_fft_i
+    np.testing.assert_allclose(shared_dense, indep_dense,
+                               rtol=1e-9, atol=1e-12)
+
+    # the shipped constant also applies sparsify_rows(quantile=0.01); verify
+    # that step on the SAME dense input so boundary entries are bit-decided
+    shared_sparse = oracle.sparsify_rows(shared_dense, quantile=0.01)
+    indep_sparse = sparsify_rows_independent(shared_dense, quantile=0.01)
+    np.testing.assert_array_equal(shared_sparse, indep_sparse)
+
+    # and the independent lengths reproduce the shared wavelet_lengths the
+    # device folds into its basis (ops/cqt.py:112-114)
+    shared_len, _ = oracle.wavelet_lengths(freqs_top, SR,
+                                           bins_per_octave=bpo)
+    r2 = 2.0 ** (2.0 / bpo)
+    indep_len = (r2 + 1) / (r2 - 1) * SR / freqs_top
+    np.testing.assert_allclose(shared_len, indep_len, rtol=1e-12)
+
+
 # ---------------------------------------------------- closed-form probes
 
 def _tone(freq, amp=1.0, phase=0.7):
