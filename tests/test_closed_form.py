@@ -106,13 +106,19 @@ def vqt_fft_basis_independent(sr, freqs, bins_per_octave, filter_scale=1.0):
 def sparsify_rows_independent(x, quantile=0.01):
     """Independent librosa.util.sparsify_rows: per row, zero the smallest
     |.| entries whose cumulative l1 fraction stays below quantile (keep from
-    the first sorted index where the cumulative reaches it)."""
+    the first sorted index where the cumulative reaches it). The cumulative
+    is accumulated as cumsum(order / sum) — the same float sequencing as the
+    oracle (dsp_np.sparsify_rows) — so the threshold INDEX is bit-decided
+    identically and the final array comparison can be exact; the independent
+    part under test is the searchsorted-vs-argmin selection rule."""
+    assert quantile <= 1.0
     out = np.zeros_like(x)
     for i in range(x.shape[0]):
         mags = np.abs(x[i])
         order = np.sort(mags)
-        cum = np.cumsum(order) / mags.sum()
-        thresh = order[np.searchsorted(cum, quantile, side="left")]
+        cum = np.cumsum(order / mags.sum())
+        idx = np.searchsorted(cum, quantile, side="left")
+        thresh = order[min(idx, len(order) - 1)]
         keep = mags >= thresh
         out[i, keep] = x[i, keep]
     return out
@@ -221,3 +227,156 @@ def test_cqt_tone_lands_on_its_bin():
             x, tuning_idx, SR, HOP, SPEC.cqt_fmin,
             SPEC.cqt_bins_per_octave, SPEC.cqt_n_octaves))(jnp.asarray(y)))[0]
     assert (cq[:, 10:50].argmax(axis=0) == 108).all()
+
+
+# ------------------------- closed-form probes: delta / LPC / rhythm
+# (VERDICT r3 #6 — the three channels that previously rested solely on
+# oracle comparison get analytic anchors the oracle never touches)
+
+def test_savgol_delta_exact_on_polynomials():
+    """librosa.feature.delta = Savitzky-Golay(width 9, polyorder=order,
+    deriv=order, mode='interp'). An SG filter reproduces the EXACT
+    derivative of any polynomial of degree <= polyorder — including the
+    'interp' edge frames — so on rows that are degree-1 / degree-2
+    polynomials of the frame index, the device delta must equal b (order 1)
+    and 2c (order 2) at EVERY frame, edges included.
+    Ref: src/precompute/process.py:34-41 (librosa delta defaults)."""
+    from tpu_breath.ops import cepstral
+    t = np.arange(63, dtype=np.float64)
+    rows = np.stack([
+        3.0 + 0.25 * t,                 # linear
+        -2.0 + 1.5 * t,                 # linear
+        1.0 + 0.5 * t - 0.03 * t * t,   # quadratic
+        4.0 - 0.2 * t + 0.01 * t * t,   # quadratic
+    ]).astype(np.float32)[None]  # [1, 4, 63]
+    d1 = np.asarray(jax.jit(lambda x: cepstral.delta(x, order=1))(
+        jnp.asarray(rows)))[0]
+    # order-1 SG (polyorder 1) is exact for the linear rows
+    np.testing.assert_allclose(d1[0], np.full(63, 0.25), atol=1e-5)
+    np.testing.assert_allclose(d1[1], np.full(63, 1.5), atol=1e-5)
+    d2 = np.asarray(jax.jit(lambda x: cepstral.delta(x, order=2))(
+        jnp.asarray(rows)))[0]
+    # order-2 SG (polyorder 2) is exact for ALL four rows: second
+    # derivative of a linear row is 0, of the quadratics 2c
+    np.testing.assert_allclose(d2[0], np.zeros(63), atol=1e-5)
+    np.testing.assert_allclose(d2[1], np.zeros(63), atol=1e-5)
+    np.testing.assert_allclose(d2[2], np.full(63, -0.06), atol=1e-5)
+    np.testing.assert_allclose(d2[3], np.full(63, 0.02), atol=1e-5)
+
+
+def test_burg_lpc_recovers_known_ar12_coefficients():
+    """Burg LPC on a synthetic AR(12) process with KNOWN coefficients: six
+    stable conjugate pole pairs define a[1:13]; driving white noise through
+    1/A(z) and running the DEVICE Burg recursion on a long frame must
+    recover them (Burg is consistent; at n=8192 the sampling error is well
+    under the tolerance). No oracle involved — the ground truth is the
+    generating filter. Ref: src/precompute/methods.py:116-134 (librosa.lpc
+    backend is the same Burg recursion)."""
+    from tpu_breath.ops import lpc as lpc_ops
+    radii = [0.55, 0.65, 0.72, 0.80, 0.85, 0.88]
+    thetas = [0.35, 0.80, 1.30, 1.80, 2.30, 2.80]
+    a_true = np.array([1.0])
+    for r, th in zip(radii, thetas):
+        pair = np.array([1.0, -2.0 * r * np.cos(th), r * r])
+        a_true = np.convolve(a_true, pair)
+    assert len(a_true) == 13
+    rng = np.random.default_rng(42)
+    e = rng.standard_normal(10_000)
+    x = np.zeros_like(e)
+    for n in range(len(e)):  # x[n] = e[n] - sum a[k] x[n-k]
+        acc = e[n]
+        for k in range(1, 13):
+            if n - k >= 0:
+                acc -= a_true[k] * x[n - k]
+        x[n] = acc
+    frame = x[1000:9192].astype(np.float32)  # skip the transient
+    a_est = np.asarray(jax.jit(
+        lambda f: lpc_ops.burg_lpc(f, 12))(jnp.asarray(frame)))
+    assert a_est[0] == 1.0
+    np.testing.assert_allclose(a_est[1:], a_true[1:], atol=0.03)
+
+
+def test_tempogram_matches_autocorrelation_definition():
+    """The device tempogram (1024-pt matmul power spectrum + inverse-cosine
+    matmul) against the DEFINITION of windowed local autocorrelation,
+    computed directly in float64: ac[t, L] = sum_n f_t[n] f_t[n+L] with
+    f_t the Hann-windowed length-384 frame at time t — then inf-normalized
+    per frame. The oracle's FFT-based path never enters.
+    Ref: src/precompute/process.py:74-78."""
+    from tpu_breath.ops import rhythm
+    rng = np.random.default_rng(5)
+    env = np.abs(rng.standard_normal(63)).astype(np.float32)
+    win_length = SPEC.tempogram_win_length
+    got = np.asarray(jax.jit(
+        lambda e: rhythm.tempogram(e, win_length))(jnp.asarray(env[None])))[0]
+
+    pad = win_length // 2
+    oe = np.pad(env.astype(np.float64), (pad, pad), mode="linear_ramp",
+                end_values=0.0)
+    w = oracle.hann(win_length, periodic=True)
+    expect = np.empty((win_length, 63))
+    for t in range(63):
+        f = oe[t:t + win_length] * w
+        for L in range(win_length):
+            expect[L, t] = np.dot(f[: win_length - L], f[L:])
+    norm = np.abs(expect).max(axis=0, keepdims=True)
+    expect = expect / np.where(norm < np.finfo(np.float32).tiny, 1.0, norm)
+    np.testing.assert_allclose(got, expect, atol=5e-5)
+
+
+def test_tempogram_click_train_peaks_at_period():
+    """Two unit clicks 48 frames apart (zero-valued boundaries, so the
+    linear-ramp padding stays identically zero): the linear autocorrelation
+    of every frame is nonzero ONLY at lags 0 and 48, so each tempogram
+    column's largest nonzero-lag value sits at lag 48, every other lag is
+    ~0, and the lag-48 value equals the closed form
+    w[p1] w[p1+48] ... i.e. (f[p1] f[p2]) / (f[p1]^2 + f[p2]^2) after the
+    inf-norm, with f the Hann-windowed click heights."""
+    from tpu_breath.ops import rhythm
+    period = 48
+    p1, p2 = 7, 55
+    env = np.zeros(63, np.float32)
+    env[p1] = env[p2] = 1.0
+    win_length = SPEC.tempogram_win_length
+    tg = np.asarray(jax.jit(
+        lambda e: rhythm.tempogram(e, win_length))(jnp.asarray(env[None])))[0]
+    pad = win_length // 2
+    w = oracle.hann(win_length, periodic=True)
+    for t in range(63):
+        col = tg[:, t]
+        assert int(col[1:].argmax()) + 1 == period, t
+        # closed form: window positions of the two clicks inside frame t
+        f1, f2 = w[p1 + pad - t], w[p2 + pad - t]
+        expect = (f1 * f2) / (f1 * f1 + f2 * f2)
+        np.testing.assert_allclose(col[period], expect, atol=1e-5)
+        off = np.delete(col, [0, period])
+        assert np.max(np.abs(off)) < 1e-4, t
+
+
+def test_onset_strength_structure():
+    """Onset strength on (a) a constant-amplitude tone: the rectified dB-mel
+    flux is identically ZERO once the window ramp-in passes; (b) a tone
+    switched on mid-clip: the envelope's global max lands at the switch-on
+    frame (+ the documented center-compensation shift of
+    lag + n_fft/(2 hop) frames). Ref: librosa.onset.onset_strength defaults
+    reached from src/precompute/process.py:74."""
+    from tpu_breath.ops import rhythm
+    t = np.arange(SPEC.expected_len, dtype=np.float64) / SR
+    tone = np.cos(2 * np.pi * 1000.0 * t)
+    const = tone.astype(np.float32)[None]
+    env_const = np.asarray(jax.jit(
+        lambda y: rhythm.onset_strength(y, SR, HOP))(jnp.asarray(const)))[0]
+    # pad region: lag + n_fft/(2*hop) = 1 + 4 = 5 leading zeros, then the
+    # window ramp-in; zero once frames see steady state (2048-sample window
+    # fully inside the tone by frame ~5+8)
+    assert np.all(env_const[:5] == 0.0)
+    assert np.max(np.abs(env_const[16:])) < 1e-4
+    onset_sample = 8000
+    gated = tone.copy()
+    gated[:onset_sample] = 0.0
+    g = gated.astype(np.float32)[None]
+    env_gate = np.asarray(jax.jit(
+        lambda y: rhythm.onset_strength(y, SR, HOP))(jnp.asarray(g)))[0]
+    shift = 1 + 2048 // (2 * HOP)
+    expect_frame = onset_sample // HOP + shift
+    assert abs(int(env_gate.argmax()) - expect_frame) <= 4

@@ -24,50 +24,33 @@ from jax import lax
 
 from tpu_breath.config import DEFAULT_FEATURES as SPEC
 from tpu_breath.data import wav as wav_io
-from tpu_breath.ops import chroma as ch_ops, dd, select, spectral
+from tpu_breath.ops import chroma as ch_ops, spectral
 
 B, CHUNK = 2048, 128
 SR, HOP = SPEC.sr, SPEC.hop_length
 
 
-def _tuning_core(S, n_fft, bins_per_octave, hist):
-    """estimate_tuning_index with a pluggable histogram stage."""
-    pitches, mags = ch_ops.piptrack(S, SR, n_fft)
-    pitch_mask = pitches > 0
-    thresh = select.masked_median(mags, pitch_mask)
-    sel = (mags >= thresh) & pitch_mask
-    safe_p = jnp.where(sel, pitches, 1.0)
-    octs = dd.log2_cr(dd.div_cr(safe_p, jnp.full_like(safe_p, 27.5)))
-    residual = jnp.mod(bins_per_octave * octs, 1.0)
-    residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
-    counts = hist(residual.ravel(), sel.ravel())
-    best = jnp.argmax(counts).astype(jnp.int32)
-    return jnp.where(jnp.sum(sel) > 0, best, jnp.int32(50))
-
-
-def hist_compare_reduce(flat_r, flat_sel):
-    edges = jnp.asarray(ch_ops._hist_edges_f32(100))
-    ge = flat_r[None, :] >= edges[:, None]
-    return jnp.sum(ge[:-1] & ~ge[1:] & flat_sel[None, :], axis=1,
-                   dtype=jnp.int32)
-
-
-def hist_searchsorted(flat_r, flat_sel):
-    edges = jnp.asarray(ch_ops._hist_edges_f32(100))
+def hist_searchsorted(flat_r, flat_sel, edges):
     idx = jnp.searchsorted(edges, flat_r, side="right").astype(jnp.int32) - 1
-    onehot = idx[None, :] == jnp.arange(100, dtype=jnp.int32)[:, None]
+    onehot = idx[None, :] == jnp.arange(len(edges) - 1,
+                                        dtype=jnp.int32)[:, None]
     return jnp.sum(onehot & flat_sel[None, :], axis=1, dtype=jnp.int32)
 
 
 def main():
-    paths = sorted(glob.glob("/root/reference/input/*/*.wav"))[:B]
-    wavs = wav_io.load_wav_batch(paths)
+    paths = sorted(glob.glob("/root/reference/input/*/*.wav"))
+    assert len(paths) >= B, (
+        f"need >= {B} wavs under /root/reference/input, found {len(paths)}")
+    wavs = wav_io.load_wav_batch(paths[:B])
     x = jnp.asarray(wavs)
 
     def run(hist):
+        # the PRODUCTION estimate_tuning_index with only the histogram stage
+        # swapped — candidates measure against the real tuning chain
         def chunk_fn(y):
             S = spectral.stft_mag(y, 2048, HOP)[..., ::2]
-            return jax.vmap(lambda s: _tuning_core(s, 2048, 36, hist))(S)
+            return jax.vmap(lambda s: ch_ops.estimate_tuning_index(
+                s, SR, 2048, 36, hist=hist))(S)
 
         def g(w):
             c = w.reshape(B // CHUNK, CHUNK, -1)
@@ -79,7 +62,7 @@ def main():
         float(jnp.sum(j(x)))
         return out, time.perf_counter() - t0
 
-    base, t_base = run(hist_compare_reduce)
+    base, t_base = run(ch_ops.hist_compare_reduce)
     cand, t_cand = run(hist_searchsorted)
     same = int(np.sum(base == cand))
     print(f"compare-reduce : {t_base*1e3:7.1f} ms ({B/t_base:8.0f} clips/s)")

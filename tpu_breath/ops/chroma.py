@@ -70,13 +70,29 @@ def _masked_median(values: jax.Array, mask: jax.Array) -> jax.Array:
     return select.masked_median(values, mask)
 
 
+def hist_compare_reduce(flat_r: jax.Array, flat_sel: jax.Array,
+                        edges: jax.Array) -> jax.Array:
+    """The production histogram stage: compare-and-reduce (scatter-add is
+    slow on TPU) against np.histogram's exact (f32-adjusted) bin edges —
+    bin b counts residuals in [edge_b, edge_{b+1}), identical to
+    searchsorted."""
+    ge = flat_r[None, :] >= edges[:, None]  # [n_bins+1, N]
+    return jnp.sum(ge[:-1] & ~ge[1:] & flat_sel[None, :],
+                   axis=1, dtype=jnp.int32)
+
+
 def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,
                           bins_per_octave: int = 12,
-                          resolution: float = 0.01) -> jax.Array:
+                          resolution: float = 0.01,
+                          hist=hist_compare_reduce) -> jax.Array:
     """librosa.estimate_tuning(S=...) as the histogram BIN INDEX (int32 in
     [0, 1/resolution)): tuning = -0.5 + index * resolution. The index form
     lets callers gather tuning-dependent trace-time constants (the CQT FFT
-    bases in ops/cqt.py) instead of rebuilding kernels in-graph."""
+    bases in ops/cqt.py) instead of rebuilding kernels in-graph.
+
+    hist(flat_residual, flat_sel, edges) -> counts[n_bins] is pluggable so
+    A/B candidates (tools/hist_ab.py) run through THIS function — the rest
+    of the tuning chain is never duplicated."""
     from tpu_breath.ops import dd
     pitches, mags = piptrack(S, sr, n_fft)
     pitch_mask = pitches > 0
@@ -90,15 +106,8 @@ def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,
     residual = jnp.mod(bins_per_octave * octs, 1.0)
     residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
     n_bins = int(np.ceil(1.0 / resolution))
-    # histogram as a compare-and-reduce (scatter-add is slow on TPU), binned
-    # against the oracle's np.histogram edges (see _hist_edges_f32): bin b
-    # counts residuals in [edge_b, edge_{b+1}), identical to searchsorted
     edges = jnp.asarray(_hist_edges_f32(n_bins))
-    flat_r = residual.ravel()
-    flat_sel = sel.ravel()
-    ge = flat_r[None, :] >= edges[:, None]  # [n_bins+1, N]
-    counts = jnp.sum(ge[:-1] & ~ge[1:] & flat_sel[None, :],
-                     axis=1, dtype=jnp.int32)
+    counts = hist(residual.ravel(), sel.ravel(), edges)
     best = jnp.argmax(counts).astype(jnp.int32)
     # empty candidate set -> tuning 0.0 -> the index of bin edge 0.0
     return jnp.where(jnp.sum(sel) > 0, best, jnp.int32(n_bins // 2))
