@@ -259,15 +259,9 @@ def _predict(results, te, paths: Paths) -> None:
     print(df.head(10))
 
 
-def cmd_predict(args) -> None:
-    from tpu_breath import ensemble
+def _load_ensemble_ckpts(paths: Paths, archs: list):
     from tpu_breath.train import checkpoint as ckpt_lib
 
-    paths = Paths(root=args.root, out_root=args.out_root)
-    spec = DEFAULT_FEATURES
-    _, _, te, _, _ = _prepare_splits(
-        paths, spec, npz_dir=getattr(args, "from_npz", None))
-    archs = args.archs.split(",")
     ckpts, scores = [], []
     for arch in archs:
         path = ckpt_lib.latest_checkpoint(os.path.join(paths.ckpt_dir, arch))
@@ -276,6 +270,38 @@ def cmd_predict(args) -> None:
         meta = ckpt_lib.load_metadata(path)
         ckpts.append(path)
         scores.append(meta["val_acc"])
+    return ckpts, scores
+
+
+def cmd_predict(args) -> None:
+    from tpu_breath import ensemble
+
+    paths = Paths(root=args.root, out_root=args.out_root)
+    spec = DEFAULT_FEATURES
+    archs = args.archs.split(",")
+    wav_files = getattr(args, "from_wav", None)
+    if wav_files:
+        # cache-free single-shot inference: wav file(s) -> one jitted
+        # wav->features->ensemble graph -> label. Replaces the reference's
+        # per-clip librosa loop + torch ensemble (src/precompute/process.py:25
+        # + src/utils/ensemble.py:49) with a 6.4 ms/clip device graph.
+        ckpts, scores = _load_ensemble_ckpts(paths, archs)
+        errors: list = []
+        wavs = wav_io.load_wav_batch(wav_files, spec.expected_len,
+                                     errors=errors)
+        for path, msg in errors:
+            display.print_error(f"{path}: {msg}")
+        probs = ensemble.serve_from_wav(ckpts, archs, scores, wavs, spec)
+        for path, p in zip(wav_files, probs):
+            label = "E" if p > 0.5 else "I"
+            print(f"{path}\t{label}\t{p:.4f}")
+        out = os.path.join(paths.submission_dir, "from_wav_predictions.csv")
+        ensemble.write_submission(wav_files, probs, out)
+        display.print_success(f"predictions written: {out}")
+        return
+    _, _, te, _, _ = _prepare_splits(
+        paths, spec, npz_dir=getattr(args, "from_npz", None))
+    ckpts, scores = _load_ensemble_ckpts(paths, archs)
     probs = ensemble.weighted_ensemble(ckpts, archs, scores, te.features,
                                        te.scalars, te.scalars.shape[1])
     out = os.path.join(paths.submission_dir, "submission.csv")
@@ -357,6 +383,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--archs", default="cnn8,vgg")
     sp.add_argument("--from-npz", dest="from_npz", default=None, metavar="DIR")
+    sp.add_argument("--from-wav", dest="from_wav", nargs="+", default=None,
+                    metavar="FILE",
+                    help="classify wav file(s) directly — no feature cache: "
+                         "one jitted wav->features->ensemble graph "
+                         "(6.4 ms/clip device latency, RESULTS.md)")
     sp.set_defaults(fn=cmd_predict)
     return p
 

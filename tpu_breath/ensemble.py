@@ -83,6 +83,55 @@ def average_ensemble(ckpt_paths, archs, feats, scals,
                              batch_size=batch_size)
 
 
+def serve_from_wav(ckpt_paths, archs, val_scores, wavs: np.ndarray,
+                   spec=None, use_softmax: bool = True,
+                   micro_batch: int = 8) -> np.ndarray:
+    """Cache-free inference: wavs[N, 16000] -> ensemble probabilities[N]
+    through ONE jitted graph (feature extraction + every model's forward +
+    the weighted sigmoid blend fused into a single device dispatch per
+    micro-batch). This is the serving path the reference lacks — its
+    per-clip story is ~20 sequential librosa calls plus two torch models
+    (src/precompute/process.py:25 + src/utils/ensemble.py:49); here the
+    measured device latency is 6.4 ms/clip at batch 1 (RESULTS.md).
+
+    micro_batch fixes the compiled shape; the tail is padded and dropped.
+    """
+    from tpu_breath.config import DEFAULT_FEATURES
+    from tpu_breath.features import extract_features
+
+    spec = spec or DEFAULT_FEATURES
+    f0, s0 = jax.jit(lambda w: extract_features(w, spec))(
+        jnp.asarray(wavs[:1]))
+    sample = Batch(f0, s0, jnp.zeros(1, jnp.float32))
+    loaded = [load_model_state(p, a, spec.n_scalars, sample)
+              for p, a in zip(ckpt_paths, archs)]
+    weights = softmax_weights(val_scores, use_softmax)
+
+    @jax.jit
+    def serve(y):
+        f, s = extract_features(y, spec)
+        p = jnp.zeros(y.shape[0], jnp.float32)
+        for (model, state), w in zip(loaded, weights):
+            logits = model.apply({"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                                 f, s, train=False)
+            p = p + float(w) * jax.nn.sigmoid(logits)
+        return p
+
+    n = wavs.shape[0]
+    out = np.empty(n, np.float64)
+    pending = []
+    for lo in range(0, n, micro_batch):
+        hi = min(lo + micro_batch, n)
+        x = wavs[lo:hi]
+        if hi - lo < micro_batch:
+            x = np.pad(x, ((0, micro_batch - (hi - lo)), (0, 0)))
+        pending.append((lo, hi, serve(jnp.asarray(x))))
+    for lo, hi, p in pending:
+        out[lo:hi] = np.asarray(p)[: hi - lo]
+    return out
+
+
 def write_submission(ids, probs, out_path: str,
                      threshold: float = 0.5) -> pd.DataFrame:
     """probs > 0.5 -> 'E' else 'I' (src/scripts.py:62-69)."""
