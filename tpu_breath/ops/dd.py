@@ -30,8 +30,25 @@ _LN2_HI = np.float32(0.6931471824645996)       # fl32(ln 2)
 _LN2_LO = np.float32(-1.904654323148236e-09)   # ln2 - LN2_HI (dd tail)
 
 
+def _opaque(like, v):
+    """Literal v as a runtime-opaque f32 constant shaped like `like`.
+
+    XLA's algebraic simplifier rewrites (A + C) - C -> A when C is a
+    trace-time literal, which silently destroys the error-free two_sum
+    residual: under jit on the CPU backend, two_sum(1.0, x) returned
+    ulp(1)/2 instead of the exact residual (the whole point of the EFT),
+    while the same EFT on two traced operands compiles correctly
+    (tests/test_dd.py::test_two_sum_literal_operand). An
+    optimization_barrier hides the literal from the pattern matcher on
+    every backend. Invariant for this module: any LITERAL operand of
+    _two_sum/_fast_two_sum/_dd_add must pass through here; traced operands
+    (and zeros_like tails, which no rewrite can damage) need not."""
+    return lax.optimization_barrier(jnp.full_like(like, v))
+
+
 def _two_sum(a, b):
-    """a + b = s + e exactly (Knuth)."""
+    """a + b = s + e exactly (Knuth). Operands must be traced values or
+    _opaque literals — see _opaque."""
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
@@ -190,7 +207,15 @@ def sqrt_dd(sh: jax.Array, sl: jax.Array) -> jax.Array:
 
 # log2(1+u) series on u in [sqrt(2)/2 - 1, sqrt(2) - 1): use
 # log(m) = 2 atanh(z), z = (m-1)/(m+1), evaluated in double-float.
-_N_TERMS = 11  # z^2 <= 0.0295 -> term 2k+1 < 1e-17 at k=11
+# Truncating before term k costs (z^2)^k/(2k+1) relative to the sum: the
+# reduced range gives |z| <= 0.1716, z^2 <= 0.02944, so 9 terms (k=0..8)
+# leave 0.02944^9/19 = 8.4e-16 — below the double-float working precision
+# (~2^-48 = 3.6e-15) — while 8 terms leave 3.2e-14, which measurably
+# breaks correct rounding (~1e-4 of random inputs miss by 1 ulp;
+# tests/test_dd.py pins the contract against f64-then-rounded). 9 is the
+# minimal length that preserves the contract; the original 11 wasted two
+# dd multiply-adds per element on the tuning hot path.
+_N_TERMS = 9
 
 
 def log2_cr(x: jax.Array) -> jax.Array:
@@ -217,20 +242,28 @@ def _log2_dd(x: jax.Array):
     # the ulp doubles crossing 2.0, so carry the denominator as an exact
     # two_sum pair or the whole quotient inherits its ~2^-25 rounding.
     num = m - jnp.float32(1.0)
-    den_h, den_l = _two_sum(m, jnp.float32(1.0))
+    den_h, den_l = _two_sum(m, _opaque(m, 1.0))
     y0 = 1.0 / den_h
     zh, zl = _two_prod(num, y0)
     # refine: correction = (num - den*z) * y0
     dz_h, dz_l = _dd_mul_f(den_h, jnp.zeros_like(den_h), zh)
     corr = ((num - dz_h) - dz_l - den_h * zl - den_l * zh) * y0
     zh, zl = _fast_two_sum(zh, zl + corr)
-    # s = z^2 in dd; atanh series: z * (1 + s/3 + s^2/5 + ...)
+    # s = z^2 in dd; atanh series: z * (1 + s/3 + s^2/5 + ...). The Horner
+    # coefficients 1/(2k+1) must themselves be double-float: a bare
+    # f32(1/3) carries ~1e-8 relative error, which propagates ~3e-10 into
+    # the series sum — 1e4x the dd working precision and enough to miss
+    # correct rounding ~1e-4 of the time (tests/test_dd.py caught this).
     sh, sl = _dd_mul(zh, zl, zh, zl)
-    th, tl = jnp.ones_like(zh) / (2 * _N_TERMS + 1), jnp.zeros_like(zh)
+    c_hi = np.float32(1.0 / (2 * _N_TERMS + 1))
+    c_lo = np.float32(1.0 / (2 * _N_TERMS + 1) - np.float64(c_hi))
+    th = _opaque(zh, c_hi)
+    tl = _opaque(zh, c_lo)
     for k in range(_N_TERMS - 1, -1, -1):
         th, tl = _dd_mul(th, tl, sh, sl)
-        th, tl = _dd_add(th, tl, jnp.float32(1.0 / (2 * k + 1)),
-                         jnp.zeros_like(th))
+        c_hi = np.float32(1.0 / (2 * k + 1))
+        c_lo = np.float32(1.0 / (2 * k + 1) - np.float64(c_hi))
+        th, tl = _dd_add(th, tl, _opaque(th, c_hi), _opaque(th, c_lo))
     # ln(m) = 2 z * series
     lh, ll = _dd_mul(zh, zl, th, tl)
     lh, ll = _dd_mul_f(lh, ll, jnp.float32(2.0))
@@ -244,6 +277,8 @@ def _log2_dd(x: jax.Array):
 
 
 _INV_LN2 = np.float32(1.4426950408889634)
+_INV_LN2_HI = np.float32(1.4426950216293335)      # fl32(1/ln 2)
+_INV_LN2_LO = np.float32(1.9259629911266175e-08)  # 1/ln2 - HI (dd tail)
 
 
 def log1p_cr(x: jax.Array) -> jax.Array:
@@ -254,13 +289,26 @@ def log1p_cr(x: jax.Array) -> jax.Array:
     (std ~0.005) amplifies to ~5e-3 — the entire remaining parity gap of
     that channel (PARITY.md). Method: u = 1 + x captured EXACTLY as a
     two_sum pair (uh, ul); log2(uh) via the dd atanh series (_log2_dd); the
-    dropped tail enters as the first-order correction ul/(uh ln2); multiply
-    by ln2 in double-float; one final rounding."""
+    dropped tail enters as the correction (v - v^2/2)/ln2, v = ul/uh,
+    itself in double-float (v is up to 6% of the result for x ~ 1e-6, so a
+    bare-f32 first-order correction leaves ~0.05-ulp errors that miss
+    correct rounding on ~0.1% of inputs); multiply by ln2 in double-float;
+    one final rounding."""
     x = x.astype(jnp.float32)
-    uh, ul = _two_sum(jnp.float32(1.0), x)
+    uh, ul = _two_sum(_opaque(x, 1.0), x)
     lh, ll = _log2_dd(uh)
-    corr = (ul / uh) * _INV_LN2
-    lh, ll = _dd_add(lh, ll, corr, jnp.zeros_like(corr))
+    # v = ul/uh as a Newton-refined double-float (residual folded once)
+    y0 = 1.0 / uh
+    vh, vl = _two_prod(ul, y0)
+    uv_h, uv_l = _dd_mul_f(uh, jnp.zeros_like(uh), vh)
+    vl = vl + (((ul - uv_h) - uv_l) - uh * vl) * y0
+    # log2(u) = log2(uh) + (v - v^2/2 + O(v^3))/ln2; v <= ~6e-8 so the
+    # v^3 term (~1e-22 abs) is far below dd precision
+    wh, wl = _dd_add(vh, vl, -0.5 * (vh * vh), jnp.zeros_like(vh))
+    ch, cl = _dd_mul(wh, wl,
+                     jnp.broadcast_to(_INV_LN2_HI, wh.shape),
+                     jnp.broadcast_to(_INV_LN2_LO, wh.shape))
+    lh, ll = _dd_add(lh, ll, ch, cl)
     rh, rl = _dd_mul(lh, ll, jnp.broadcast_to(_LN2_HI, lh.shape),
                      jnp.broadcast_to(jnp.float32(_LN2_LO), lh.shape))
     return rh + rl
