@@ -384,3 +384,45 @@ def test_scalar_vector_parity(real_clips):
         scale = np.maximum(np.abs(ref), 1e-2)
         assert np.max(np.abs(got[b] - ref) / scale) < 2e-2, (
             np.abs(got[b] - ref) / scale)
+
+
+# ------------------------------------------- round-4 graph restructurings
+
+def test_piptrack_band_bit_equals_full(real_clips):
+    """The band-sliced tuning front end (chroma._piptrack_band) must be
+    bit-identical to the full-grid piptrack on every selectable bin — the
+    out-of-band rows it skips can never enter the median/histogram (their
+    freq_mask is False in the full grid too)."""
+    for nf, hop_s in ((NFFT, np.s_[...]), (2048, np.s_[..., ::2])):
+        S = np.asarray(J(spectral.stft_mag, n_fft=nf, hop_length=HOP)(
+            jnp.asarray(real_clips[:2])))[hop_s]
+        lo, hi = chroma_ops._band_rows(S.shape[-2], SR)
+        for b in range(S.shape[0]):
+            pf, mf = jax.jit(lambda s: chroma_ops.piptrack(s, SR, nf))(
+                jnp.asarray(S[b]))
+            pb, mb = jax.jit(lambda s: chroma_ops._piptrack_band(s, SR, nf))(
+                jnp.asarray(S[b]))
+            sel_full = np.asarray(pf) > 0
+            assert not sel_full[:lo].any() and not sel_full[hi:].any()
+            np.testing.assert_array_equal(
+                np.asarray(pb) > 0, sel_full[lo:hi])
+            np.testing.assert_array_equal(np.asarray(pb)[np.asarray(pb) > 0],
+                                          np.asarray(pf)[sel_full])
+            np.testing.assert_array_equal(np.asarray(mb)[np.asarray(pb) > 0],
+                                          np.asarray(mf)[sel_full])
+
+
+def test_cqt_fused_kernels_vs_spectral_layout(real_clips):
+    """The tuning-gathered time-domain CQT kernels (one GEMM per octave)
+    vs the per-octave STFT + basis-projection layout: identical math up to
+    GEMM associativity — bound the difference well below the channel parity
+    budget."""
+    idx = jnp.asarray(np.array([0, 37, 50, 99][: real_clips.shape[0]],
+                               np.int32))
+    y = jnp.asarray(real_clips[: idx.shape[0]])
+    fused = np.asarray(jax.jit(lambda y, i: cqt_ops.cqt_mag_multirate(
+        y, i, SR, HOP, SPEC.cqt_fmin, 36, 7))(y, idx))
+    spect = np.asarray(jax.jit(lambda y, i: cqt_ops.cqt_mag_multirate_spectral(
+        y, i, SR, HOP, SPEC.cqt_fmin, 36, 7))(y, idx))
+    assert fused.shape == spect.shape
+    assert rel_err(fused, spect) < 2e-5

@@ -81,6 +81,53 @@ def hist_compare_reduce(flat_r: jax.Array, flat_sel: jax.Array,
                    axis=1, dtype=jnp.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _band_rows(F: int, sr: float, fmin: float = 150.0,
+               fmax: float = 4000.0) -> tuple[int, int]:
+    """Static row slice [lo, hi) covering the piptrack candidate band
+    [fmin, fmax) plus a one-row margin each side (the localmax and parabolic
+    stencils read +/-1 neighbors). Rows outside this slice can never be
+    selected (freq_mask is False there), so the tuning chain's elementwise
+    dd transcendentals and histogram compares skip ~55% of the grid with
+    bit-identical results (tests/test_ops_parity.py)."""
+    fft_freqs = np.linspace(0, sr / 2, F)
+    band = (fft_freqs >= fmin) & (fft_freqs < min(fmax, sr / 2.0))
+    lo = max(int(np.argmax(band)) - 1, 0)
+    hi = min(F - int(np.argmax(band[::-1])) + 1, F)
+    return lo, hi
+
+
+def _piptrack_band(S: jax.Array, sr: float, n_fft: int,
+                   fmin: float = 150.0, fmax: float = 4000.0,
+                   threshold: float = 0.1):
+    """piptrack restricted to the static candidate-band row slice: returns
+    (pitches, mags) of shape [hi-lo, T], bit-identical to the corresponding
+    rows of the full-grid piptrack for every selectable bin (margin rows are
+    masked to zero exactly like out-of-band rows in the full grid). The
+    selection threshold still uses the FULL-spectrum column max."""
+    from tpu_breath.ops import dd
+    fmax = min(fmax, sr / 2.0)
+    F = S.shape[0]
+    lo, hi = _band_rows(F, sr, fmin, fmax)
+    fft_freqs = np.linspace(0, sr / 2, F)
+    ref_value = threshold * jnp.max(S, axis=0, keepdims=True)  # full F
+    Sb = S[lo:hi, :]
+    avg = 0.5 * (Sb[2:, :] - Sb[:-2, :])
+    shift = 2 * Sb[1:-1, :] - Sb[2:, :] - Sb[:-2, :]
+    tiny = np.finfo(np.float32).tiny
+    shift = dd.div_cr(avg, shift + (jnp.abs(shift) < tiny))
+    avg = jnp.pad(avg, ((1, 1), (0, 0)))
+    shift = jnp.pad(shift, ((1, 1), (0, 0)))
+    dskew = 0.5 * avg * shift
+    freqs_b = fft_freqs[lo:hi]
+    freq_mask = jnp.asarray(((fmin <= freqs_b) & (freqs_b < fmax))[:, None])
+    idx = freq_mask & _localmax(Sb * freq_mask, axis=0) & (Sb > ref_value)
+    bins = jnp.arange(lo, hi, dtype=S.dtype)[:, None]
+    pitches = jnp.where(idx, (bins + shift) * float(sr) / n_fft, 0.0)
+    mags = jnp.where(idx, Sb + dskew, 0.0)
+    return pitches, mags
+
+
 def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,
                           bins_per_octave: int = 12,
                           resolution: float = 0.01,
@@ -94,7 +141,7 @@ def estimate_tuning_index(S: jax.Array, sr: float, n_fft: int,
     A/B candidates (tools/hist_ab.py) run through THIS function — the rest
     of the tuning chain is never duplicated."""
     from tpu_breath.ops import dd
-    pitches, mags = piptrack(S, sr, n_fft)
+    pitches, mags = _piptrack_band(S, sr, n_fft)
     pitch_mask = pitches > 0
     thresh = _masked_median(mags, pitch_mask)
     sel = (mags >= thresh) & pitch_mask

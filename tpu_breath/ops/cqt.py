@@ -137,12 +137,91 @@ def decimate2(y: jax.Array, taps: np.ndarray) -> jax.Array:
     return dec * np.float32(np.sqrt(2.0))
 
 
+@functools.lru_cache(maxsize=None)
+def _vqt_time_kernels(sr: int, fmin: float, bins_per_octave: int,
+                      n_octaves: int = 7):
+    """Tuning-gathered TIME-DOMAIN response kernels: for each of the 100
+    tuning values, K[k, l] = sum_f basis[k, f] * exp(-2pi i f l / n_fft) —
+    the per-octave FFT-basis projection (basis @ STFT) folded with the DFT
+    itself into one constant, built in float64 and rounded once.
+
+    C[octave][k, t] = sum_f basis[k,f] D[t,f] = sum_l frames[t,l] K[k,l],
+    so each octave's response is ONE batched [T, n_fft] x [n_fft, 2*bpo]
+    GEMM instead of a full 512-pt STFT plus four [bpo, F] projections —
+    measured 18% faster end-to-end on the CQT (tools/graph_ab.py), with the
+    f64-exact kernel replacing two separately-rounded f32 constants.
+
+    Returns ([n_tunings, 2*bpo, n_fft] packed (re | im), n_fft, fir_taps)."""
+    n_t = int(np.ceil(1.0 / _TUNING_RESOLUTION))
+    outs = []
+    n_fft_ref = None
+    for ti in range(n_t):
+        tau = -0.5 + ti * _TUNING_RESOLUTION
+        fmin_t = fmin * 2.0 ** (tau / bins_per_octave)
+        k = np.arange((n_octaves - 1) * bins_per_octave,
+                      n_octaves * bins_per_octave)
+        freqs_top = fmin_t * 2.0 ** (k / bins_per_octave)
+        fft_basis, n_fft = _oracle._vqt_filter_fft(
+            sr, freqs_top, bins_per_octave)
+        lengths, _ = _oracle.wavelet_lengths(
+            freqs_top, sr, bins_per_octave=bins_per_octave)
+        b = fft_basis / np.sqrt(lengths)[:, None]
+        if n_fft_ref is None:
+            n_fft_ref = n_fft
+        assert n_fft == n_fft_ref, "kernel n_fft must be tuning-independent"
+        E = np.exp(-2j * np.pi * np.outer(np.arange(n_fft // 2 + 1),
+                                          np.arange(n_fft)) / n_fft)
+        Kt = b @ E  # [bpo, n_fft] complex128
+        outs.append(np.concatenate([Kt.real, Kt.imag], axis=0)
+                    .astype(np.float32))
+    taps = scipy.signal.firwin(41, 0.5, window=("kaiser", 5.0))
+    return np.stack(outs), n_fft_ref, taps.astype(np.float32)
+
+
 def cqt_mag_multirate(y: jax.Array, tuning_idx: jax.Array, sr: int,
                       hop_length: int, fmin: float, bins_per_octave: int,
                       n_octaves: int) -> jax.Array:
     """|CQT| via librosa's recursion. y[..., n], tuning_idx[...] int32 (the
     estimate_tuning histogram index) -> [..., n_bins, 1 + n//hop] with
-    librosa cqt(scale=True) semantics."""
+    librosa cqt(scale=True) semantics. Per octave: frame the (decimated)
+    signal and apply the tuning-gathered time-domain kernels
+    (_vqt_time_kernels) in one batched GEMM."""
+    K_all, n_fft, taps = _vqt_time_kernels(sr, fmin, bins_per_octave,
+                                           n_octaves)
+    K = jnp.asarray(K_all)[tuning_idx]  # [..., 2*bpo, n_fft]
+    bpo = bins_per_octave
+    octaves = []
+    my_y, my_hop = y, hop_length
+    for o in range(n_octaves):
+        assert my_hop >= 1
+        n = my_y.shape[-1]
+        n_frames = 1 + n // my_hop  # stft_ri center=True framing
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        frames = spectral.frame_signal(jnp.pad(my_y, pad), n_fft, my_hop,
+                                       n_frames)
+        resp = jnp.einsum("...tl,...kl->...kt", frames, K,
+                          precision=MM_PRECISION)
+        rr, ri = resp[..., :bpo, :], resp[..., bpo:, :]
+        octaves.append(jnp.sqrt(rr * rr + ri * ri))
+        if o < n_octaves - 1:
+            assert my_hop % 2 == 0, "hop must have n_octaves-1 factors of 2"
+            my_hop //= 2
+            my_y = decimate2(my_y, taps)
+    # octaves[0] is the TOP octave; stack lowest-first like __trim_stack
+    n_frames = min(oc.shape[-1] for oc in octaves)
+    return jnp.concatenate([oc[..., :n_frames] for oc in octaves[::-1]],
+                           axis=-2)
+
+
+def cqt_mag_multirate_spectral(y: jax.Array, tuning_idx: jax.Array, sr: int,
+                               hop_length: int, fmin: float,
+                               bins_per_octave: int,
+                               n_octaves: int) -> jax.Array:
+    """The pre-round-4 layout (kept as the A/B reference for
+    tests/test_ops_parity.py): per octave a full ones-window 512-pt STFT of
+    the decimated signal, then four [bpo, F] x [F, T] basis projections.
+    Mathematically identical to cqt_mag_multirate up to GEMM associativity
+    (the fused kernel evaluates basis @ DFT in float64 at trace time)."""
     b_re, b_im, n_fft, taps = _vqt_consts(sr, fmin, bins_per_octave, n_octaves)
     basis_re = jnp.asarray(b_re)[tuning_idx]  # [..., bpo, F]
     basis_im = jnp.asarray(b_im)[tuning_idx]
@@ -165,7 +244,6 @@ def cqt_mag_multirate(y: jax.Array, tuning_idx: jax.Array, sr: int,
             assert my_hop % 2 == 0, "hop must have n_octaves-1 factors of 2"
             my_hop //= 2
             my_y = decimate2(my_y, taps)
-    # octaves[0] is the TOP octave; stack lowest-first like __trim_stack
     n_frames = min(oc.shape[-1] for oc in octaves)
     return jnp.concatenate([oc[..., :n_frames] for oc in octaves[::-1]],
                            axis=-2)
