@@ -141,6 +141,14 @@ def main() -> None:
         "tuning_flip_rate_bpo36": tuning36_flips / len(sample),
         "tuning_flips": flip_ties,
     }
+    # Dataset-level bounds of the two documented deviations (PARITY.md §5/§5b),
+    # measured by tools/deviation_sweep.py — folded in when available so this
+    # file is the single parity artifact.
+    dev_path = os.path.join(os.path.dirname(args.out) or ".",
+                            "results", "deviation_sweep.json")
+    if os.path.exists(dev_path):
+        with open(dev_path) as f:
+            report["documented_deviations"] = json.load(f)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
