@@ -135,6 +135,40 @@ def main() -> None:
     fused_mfu = (step_flops * TRAIN_STEPS / fused_dt / V5E_PEAK_FLOPS
                  if step_flops else None)
 
+    # --- (c) the same fused step on the VGG flagship (VERDICT r3 #2:
+    # report VGG fused MFU, not just CNN8's).
+    from tpu_breath.config import VGG_TRAIN
+    from tpu_breath.models.vgg import VGG
+    vcfg = type(VGG_TRAIN)(**{**VGG_TRAIN.__dict__,
+                              "batch_size": TRAIN_BATCH})
+    vmodel = VGG(num_scalar_features=DEFAULT_FEATURES.n_scalars)
+    vstate, vtx, _ = train_loop.create_state(
+        vmodel, jax.random.PRNGKey(0), vcfg,
+        steps_per_epoch=N_CLIPS // TRAIN_BATCH, sample_batch=sample)
+    vstep = train_loop.make_train_step(vmodel, vtx, vcfg,
+                                       fused_spec=DEFAULT_FEATURES,
+                                       fused_chunk=CHUNK)
+
+    def run_vsteps(vstate):
+        stats = None
+        for s in range(TRAIN_STEPS):
+            idx = jnp.asarray(np.arange(TRAIN_BATCH) + (s * TRAIN_BATCH)
+                              % (N_CLIPS - TRAIN_BATCH))
+            vstate, stats = vstep(vstate, x, scals_dummy, labels, idx,
+                                  keys[s], use_aug)
+        return vstate, float(stats["loss"])
+
+    vstate, _ = run_vsteps(vstate)  # compile + warmup
+    t0 = time.perf_counter()
+    vstate, vloss = run_vsteps(vstate)
+    vgg_dt = time.perf_counter() - t0
+    vgg_rate = TRAIN_STEPS * TRAIN_BATCH / vgg_dt
+    assert np.isfinite(vloss)
+    vstep_flops = _flops(vstep, vstate, x, scals_dummy, labels,
+                         jnp.arange(TRAIN_BATCH), keys[0], use_aug)
+    vgg_mfu = (vstep_flops * TRAIN_STEPS / vgg_dt / V5E_PEAK_FLOPS
+               if vstep_flops else None)
+
     # vs_baseline pairs with "value": fused clips/s over the CPU oracle's
     # feature-only clips/s — conservative, since the fused step does strictly
     # more work per clip (features + fwd/bwd/AdamW) than the oracle. The
@@ -151,6 +185,8 @@ def main() -> None:
         "cpu_baseline_clips": BASELINE_CLIPS,
         "feature_mfu": round(feat_mfu, 4) if feat_mfu else None,
         "fused_train_mfu": round(fused_mfu, 4) if fused_mfu else None,
+        "vgg_fused_clips_per_s": round(vgg_rate, 2),
+        "vgg_fused_train_mfu": round(vgg_mfu, 4) if vgg_mfu else None,
     }))
 
 
