@@ -121,3 +121,33 @@ def test_fused_step_mesh_matches_single(real_clips):
     # the fraction of meaningfully-different params instead of bit equality.
     mismatched = np.abs(p1 - p4) > 1e-4
     assert mismatched.mean() < 1e-3, mismatched.mean()
+
+
+def test_fused_chunked_map_matches_precompute(real_clips):
+    """The b > fused_chunk branch of _maybe_fused_features (lax.map over
+    chunk slices — the PRODUCTION layout at batch 512 / chunk 128) must
+    reproduce the standalone per-chunk precompute graph bit-for-bit. The
+    round-4 regression lived exactly here: XLA reassociated the
+    16,000-sample skew/kurtosis reductions inside the lax.map body but not
+    in the standalone jit, silently desyncing fused from cached training at
+    the 4th decimal (tools/fused_identity_probe.py; fixed by
+    ops/scalars._row_sum_stable)."""
+    from tpu_breath.train.loop import _maybe_fused_features
+
+    b, chunk = 4, 2
+    wavs = jnp.asarray(real_clips[:b])
+    labels = jnp.asarray(np.array([0, 1, 0, 1], np.float32))
+
+    # standalone graph at chunk geometry, as precompute dispatches it
+    ref_f, ref_s = [], []
+    ext = jax.jit(lambda w: extract_features(w, SPEC))
+    for lo in range(0, b, chunk):
+        f, s = ext(wavs[lo:lo + chunk])
+        ref_f.append(np.asarray(f))
+        ref_s.append(np.asarray(s))
+    ref_f, ref_s = np.concatenate(ref_f), np.concatenate(ref_s)
+
+    out = jax.jit(lambda w: _maybe_fused_features(
+        Batch(w, None, labels), SPEC, chunk))(wavs)
+    np.testing.assert_array_equal(np.asarray(out.features), ref_f)
+    np.testing.assert_array_equal(np.asarray(out.scalars), ref_s)

@@ -100,18 +100,25 @@ def step_scaling() -> dict:
         run = jax.jit(lambda s, b: step(jax.tree.map(jnp.copy, s), b,
                                         key, use_aug))
         cost, _ = _cost(run, state, batch)
-        _, stats = run(state, batch)  # compile+warm
-        float(stats["loss"])
-        t0 = time.perf_counter()
-        for _ in range(4):
+        out[str(k)] = dict(cost)
+        # the partition evidence is the compile-level cost analysis; a
+        # single-core host executing all k virtual devices serially can't
+        # show speedup, so pay the (expensive, ~4 min/step) execution only
+        # at the endpoints to prove the sharded step RUNS
+        if k in (1, 8):
+            _, stats = run(state, batch)  # compile+warm
+            float(stats["loss"])
+            t0 = time.perf_counter()
             _, stats = run(state, batch)
-        float(stats["loss"])
-        dt = (time.perf_counter() - t0) / 4
-        out[str(k)] = {**cost, "wall_ms_1core_host": round(dt * 1e3, 1)}
+            float(stats["loss"])
+            dt = time.perf_counter() - t0
+            out[str(k)]["wall_ms_1core_host"] = round(dt * 1e3, 1)
+        cost = out[str(k)]
         print(f"mesh={k}: per-device gflops {cost['flops']/1e9:.2f}, "
               f"all-reduce x{cost['n_all_reduce']}, "
-              f"mem {cost['memory_bytes'] and cost['memory_bytes']/1e6:.0f}MB, "
-              f"wall {dt*1e3:.0f}ms (1-core host)", flush=True)
+              f"mem {cost['memory_bytes'] and cost['memory_bytes']/1e6:.0f}MB"
+              + (f", wall {cost['wall_ms_1core_host']:.0f}ms (1-core host)"
+                 if "wall_ms_1core_host" in cost else ""), flush=True)
     return out
 
 

@@ -135,21 +135,57 @@ def spectral_contrast(S: jax.Array, sr: int, n_fft: int) -> jax.Array:
 # statistics helpers
 # -------------------------------------------------------------------------
 
+_STABLE_SUM_SPLIT = 128
+_STABLE_SUM_MAX = 512
+
+
+def _row_sum_stable(x: jax.Array) -> jax.Array:
+    """Context-stable sum over the last axis.
+
+    XLA tiles a f32 reduce over a LONG axis (the 16,000-sample clip)
+    differently depending on the enclosing module: the same
+    extract_features body reassociated the accumulation under the fused
+    train step's lax.map vs the standalone precompute jit, which broke the
+    round-3 fused==cached training identity through exactly the two
+    scalars fed by such a reduce — waveform skew/kurtosis
+    (tools/fused_identity_probe.py: every other output bit-identical
+    across contexts, scalars[29:31] off by ~5e-5 rel). Short-axis
+    reductions (frames/bins/mels, <=512 everywhere else in this module)
+    compiled bit-stably in every context on both backends, so the fix is
+    to express the long sum as two short ones: a static reshape to
+    [..., N/128, 128] pins the 128-element partial-sum association in the
+    HLO itself, leaving XLA only short reduces to schedule. (An MXU dot
+    against an opaque ones vector also pins TPU, but is 1-ulp
+    context-unstable on the CPU backend used by the virtual-mesh tests.)"""
+    n = x.shape[-1]
+    if n <= _STABLE_SUM_MAX:
+        return jnp.sum(x, axis=-1)
+    k = _STABLE_SUM_SPLIT
+    pad = (-n) % k
+    if pad:
+        zeros = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+        x = jnp.pad(x, zeros)
+    parts = x.reshape(*x.shape[:-1], (n + pad) // k, k)
+    return jnp.sum(jnp.sum(parts, axis=-1), axis=-1)
+
+
 def _skew(x: jax.Array) -> jax.Array:
     """scipy.stats.skew(bias=True) along the last axis."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    mean = (_row_sum_stable(x) / n)[..., None]
     d = x - mean
-    m2 = jnp.mean(d * d, axis=-1)
-    m3 = jnp.mean(d * d * d, axis=-1)
+    m2 = _row_sum_stable(d * d) / n
+    m3 = _row_sum_stable(d * d * d) / n
     return m3 / jnp.maximum(m2, 1e-30) ** 1.5
 
 
 def _kurtosis(x: jax.Array) -> jax.Array:
     """scipy.stats.kurtosis (Fisher, bias=True) along the last axis."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    mean = (_row_sum_stable(x) / n)[..., None]
     d = x - mean
-    m2 = jnp.mean(d * d, axis=-1)
-    m4 = jnp.mean(d ** 4, axis=-1)
+    m2 = _row_sum_stable(d * d) / n
+    m4 = _row_sum_stable((d * d) * (d * d)) / n
     return m4 / jnp.maximum(m2, 1e-30) ** 2 - 3.0
 
 
