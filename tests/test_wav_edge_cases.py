@@ -116,7 +116,11 @@ def test_native_matches_python_resample(tmp_path):
     native = wav_io.load_wav_batch([p])[0]
     python = _python_only([p])[0]
     if wav_io._native_lib() is None:
-        pytest.skip("native decoder not built")
+        import shutil
+        if shutil.which("g++"):
+            pytest.fail("native decoder unavailable despite a toolchain — "
+                        "the build_native_decoder fixture should have built it")
+        pytest.skip("native decoder not built (no toolchain)")
     np.testing.assert_allclose(native, python, atol=2e-6)
 
 

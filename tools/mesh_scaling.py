@@ -36,6 +36,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import numpy as np
 
 GLOBAL_BATCH = 512
+# Timing protocol: wall_ms_1core_host is the mean of this many post-warmup
+# executions; recorded in the JSON so round-over-round comparisons carry
+# their protocol.
+N_TIMING_ITERS = 3
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -109,15 +113,19 @@ def step_scaling() -> dict:
             _, stats = run(state, batch)  # compile+warm
             float(stats["loss"])
             t0 = time.perf_counter()
-            _, stats = run(state, batch)
-            float(stats["loss"])
-            dt = time.perf_counter() - t0
+            for _ in range(N_TIMING_ITERS):
+                _, stats = run(state, batch)
+                float(stats["loss"])
+            dt = (time.perf_counter() - t0) / N_TIMING_ITERS
             out[str(k)]["wall_ms_1core_host"] = round(dt * 1e3, 1)
+            out[str(k)]["n_timing_iters"] = N_TIMING_ITERS
         cost = out[str(k)]
+        mem = cost["memory_bytes"]
+        mem_str = f"{mem / 1e6:.0f}MB" if mem is not None else "?MB"
         print(f"mesh={k}: per-device gflops {cost['flops']/1e9:.2f}, "
-              f"all-reduce x{cost['n_all_reduce']}, "
-              f"mem {cost['memory_bytes'] and cost['memory_bytes']/1e6:.0f}MB"
-              + (f", wall {cost['wall_ms_1core_host']:.0f}ms (1-core host)"
+              f"all-reduce x{cost['n_all_reduce']}, mem {mem_str}"
+              + (f", wall {cost['wall_ms_1core_host']:.0f}ms (1-core host, "
+                 f"mean of {N_TIMING_ITERS})"
                  if "wall_ms_1core_host" in cost else ""), flush=True)
     return out
 

@@ -179,3 +179,11 @@ class Paths:
 
 
 DEFAULT_FEATURES = FeatureSpec()
+
+# Version stamp for the numeric output of the feature stack. The flat feature
+# cache (data/dataset.py FeatureStore) records this at save time and a
+# mismatch invalidates the cache, so a cache written before a numeric change
+# can never be silently mixed with post-change fused training (the
+# fused-vs-cached desync class fixed in round 4 by ops/scalars.py
+# _row_sum_stable). Bump on ANY commit that changes extract_features output.
+FEATURE_NUMERIC_VERSION = "r4-row-sum-stable-1"

@@ -70,11 +70,19 @@ class FeatureStore:
     # ---------------- flat cache ----------------
 
     def save_cache(self, cache_dir: str) -> None:
+        import json
+
+        from tpu_breath.config import FEATURE_NUMERIC_VERSION
         os.makedirs(cache_dir, exist_ok=True)
         np.save(os.path.join(cache_dir, "features.npy"), self.features)
         np.save(os.path.join(cache_dir, "scalars.npy"), self.scalars)
         with open(os.path.join(cache_dir, "ids.txt"), "w") as f:
             f.write("\n".join(self.ids))
+        with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+            json.dump({"numeric_version": FEATURE_NUMERIC_VERSION,
+                       "n_clips": len(self.ids),
+                       "feature_shape": list(self.features.shape[1:]),
+                       "scalar_dim": int(self.scalars.shape[1])}, f)
 
     @classmethod
     def load_cache(cls, cache_dir: str, mmap: bool = True) -> "FeatureStore":
@@ -87,8 +95,25 @@ class FeatureStore:
 
     @classmethod
     def cache_exists(cls, cache_dir: str) -> bool:
-        return all(os.path.exists(os.path.join(cache_dir, n))
-                   for n in ("features.npy", "scalars.npy", "ids.txt"))
+        """True only for a complete cache written by the CURRENT numeric
+        stack. A missing/mismatched meta.json (e.g. a cache predating a
+        feature-numerics change) reads as absent, forcing regeneration —
+        stale features must never mix with fresh fused training."""
+        import json
+
+        from tpu_breath.config import FEATURE_NUMERIC_VERSION
+        if not all(os.path.exists(os.path.join(cache_dir, n))
+                   for n in ("features.npy", "scalars.npy", "ids.txt")):
+            return False
+        meta_path = os.path.join(cache_dir, "meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return meta.get("numeric_version") == FEATURE_NUMERIC_VERSION
 
     # ---------------- npz parity mode ----------------
 

@@ -34,7 +34,8 @@ def predict_probs(model, state: TrainState, feats: np.ndarray,
                   scals: np.ndarray, batch_size: int = 1024) -> np.ndarray:
     """Sigmoid probabilities for one model over the whole set."""
     eval_step = make_eval_step(model)
-    f = jnp.asarray(feats)
+    from tpu_breath.utils import transfer
+    f = transfer.device_put_chunked(feats)
     s = jnp.asarray(scals)
     n = feats.shape[0]
     out = np.empty(n, np.float32)

@@ -35,6 +35,7 @@ from tpu_breath.augment import Batch, apply_augmentation
 from tpu_breath.train.schedule import warmup_cosine
 from tpu_breath.train import metrics as metrics_mod
 from tpu_breath.parallel import mesh as mesh_lib
+from tpu_breath.utils import transfer
 
 
 @flax.struct.dataclass
@@ -306,14 +307,14 @@ def fit(model, train_store, val_store, train_labels, val_labels,
         sample_f, sample_s = feats_host[:2], scals_host[:2]
         sample_y = jnp.asarray(labels_host[:2])
     else:
-        feats_tr = jnp.asarray(train_store[0])
+        feats_tr = transfer.device_put_chunked(train_store[0])
         labels_tr = jnp.asarray(train_labels)
         scals_tr = (jnp.zeros((n_train, 0), jnp.float32)
                     if fused_spec is not None
                     else jnp.asarray(train_store[1]))
         sample_f, sample_s = feats_tr[:2], scals_tr[:2]
         sample_y = labels_tr[:2]
-    feats_va = jnp.asarray(val_store[0])
+    feats_va = transfer.device_put_chunked(val_store[0])
     scals_va = jnp.asarray(val_store[1])
     if mesh is not None:
         # val set stays replicated (its length rarely divides the mesh);
