@@ -40,10 +40,10 @@ def synth_root(tmp_path_factory):
     y = np.asarray([1.0 if "_E_" in i else 0.0 for i in ids_tr] + [0.5] * N_TEST)
     feats[:, 0, 0, 0] += 2.0 * y
     scals = rng.standard_normal((len(all_ids), 36)).astype(np.float32)
-    np.save(os.path.join(paths.feature_cache, "features.npy"), feats)
-    np.save(os.path.join(paths.feature_cache, "scalars.npy"), scals)
-    with open(os.path.join(paths.feature_cache, "ids.txt"), "w") as f:
-        f.write("\n".join(all_ids))
+    # save_cache stamps meta.json with FEATURE_NUMERIC_VERSION; a bare
+    # features.npy/scalars.npy cache now reads as absent (stale-cache guard)
+    from tpu_breath.data.dataset import FeatureStore
+    FeatureStore(all_ids, feats, scals).save_cache(paths.feature_cache)
     return root
 
 

@@ -79,6 +79,26 @@ def test_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(sub.features[0], store.features[2])
 
 
+def test_cache_version_guard(tmp_path):
+    """A cache written before a feature-numerics change must read as absent
+    (advisor r4: stale features silently mixing with post-fix fused training
+    reintroduces the fused-vs-cached desync)."""
+    import json
+    import os
+    rng = np.random.default_rng(2)
+    store = ds.FeatureStore(["a"],
+                            rng.standard_normal((1, 9, 8, 4)).astype(np.float32),
+                            rng.standard_normal((1, 5)).astype(np.float32))
+    store.save_cache(str(tmp_path))
+    assert ds.FeatureStore.cache_exists(str(tmp_path))
+    meta = os.path.join(tmp_path, "meta.json")
+    with open(meta, "w") as f:
+        json.dump({"numeric_version": "some-older-stack"}, f)
+    assert not ds.FeatureStore.cache_exists(str(tmp_path))
+    os.remove(meta)  # pre-versioning cache: no meta.json at all
+    assert not ds.FeatureStore.cache_exists(str(tmp_path))
+
+
 def test_batch_indices_drop_last_and_determinism():
     a = list(loader.batch_indices(10, 4, np.random.default_rng(0)))
     b = list(loader.batch_indices(10, 4, np.random.default_rng(0)))
