@@ -87,11 +87,11 @@ def main() -> None:
         t36 = ch_ops.estimate_tuning(s2048, spec.sr, 2048, 36)
         return t12, t36
 
-    def tie_width(S_o, bpo):
+    def tie_width(S_o, bpo, n_fft=None):
         """Oracle histogram's top1-top2 count gap for a flip post-mortem: a
         gap of 0 means the argmax was a pure tie-break, <=1 means one moved
         residual decides it (the only flips the ~1e-6 |S| noise can cause)."""
-        pitches, mags = dsp_np.piptrack(S_o, spec.sr, spec.n_fft)
+        pitches, mags = dsp_np.piptrack(S_o, spec.sr, n_fft or spec.n_fft)
         mask = pitches > 0
         thr = np.median(mags[mask]) if mask.any() else 0.0
         f = pitches[(mags >= thr) & mask]
@@ -121,8 +121,21 @@ def main() -> None:
         if abs(t12_d - t12_o) > 1e-6:
             tuning12_flips += 1
             flip_ties.append({"id": ids[i], "bpo": 12,
+                              "t_oracle": float(t12_o),
+                              "t_device": float(t12_d),
                               "tie_width": tie_width(stft_m, 12)})
-        tuning36_flips += int(abs(t36_d - t36_o) > 1e-6)
+        if abs(t36_d - t36_o) > 1e-6:
+            tuning36_flips += 1
+            # postmortem on the bpo36 (CQT/CENS) estimator too: its S is
+            # |stft(y, 2048, 512)| (piptrack defaults; dsp_np
+            # estimate_tuning_from_y), the device computes the same frames
+            # as stft_mag(y, 2048, 256)[..., ::2]
+            s2048_o = np.abs(dsp_np.stft(y, 2048, 512))
+            flip_ties.append({"id": ids[i], "bpo": 36,
+                              "t_oracle": float(t36_o),
+                              "t_device": float(t36_d),
+                              "tie_width": tie_width(s2048_o, 36,
+                                                     n_fft=2048)})
         if (j + 1) % 50 == 0:
             rate = (j + 1) / (time.time() - t0)
             print(f"  oracle {j + 1}/{len(sample)} ({rate:.2f} clips/s)")
