@@ -168,6 +168,10 @@ def two_process(cmd: str, synth_root: str, out_dir: str, nproc: int) -> float:
     port = _free_port()
     env = {**os.environ,
            "JAX_PLATFORMS": "cpu",
+           # the session PYTHONPATH points at the axon plugin site only; the
+           # worker needs the repo root to import tpu_breath (the pytest
+           # spawn of the same worker sets this too)
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
            "XLA_FLAGS": f"--xla_force_host_platform_device_count="
                         f"{8 // nproc}"}
     t0 = time.perf_counter()
