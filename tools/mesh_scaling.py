@@ -168,10 +168,11 @@ def two_process(cmd: str, synth_root: str, out_dir: str, nproc: int) -> float:
     port = _free_port()
     env = {**os.environ,
            "JAX_PLATFORMS": "cpu",
-           # the session PYTHONPATH points at the axon plugin site only; the
-           # worker needs the repo root to import tpu_breath (the pytest
-           # spawn of the same worker sets this too)
-           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+           # PYTHONPATH = repo root ONLY, exactly like the pytest spawn of
+           # this worker: the repo import needs it, and it must NOT include
+           # the axon plugin site — its sitecustomize pre-registers the
+           # device backend and the forced CPU device count is then ignored
+           "PYTHONPATH": REPO,
            "XLA_FLAGS": f"--xla_force_host_platform_device_count="
                         f"{8 // nproc}"}
     t0 = time.perf_counter()
@@ -183,8 +184,13 @@ def two_process(cmd: str, synth_root: str, out_dir: str, nproc: int) -> float:
         for pid in range(nproc)]
     logs = [p.communicate(timeout=1800)[0] for p in procs]
     dt = time.perf_counter() - t0
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-2000:]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        if p.returncode != 0:
+            path = f"/tmp/mesh_worker_{cmd}_n{nproc}_p{pid}.log"
+            with open(path, "w") as f:
+                f.write(log)
+            raise AssertionError(
+                f"worker {pid} rc={p.returncode}; full log at {path}")
     return dt
 
 

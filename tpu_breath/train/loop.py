@@ -314,13 +314,25 @@ def fit(model, train_store, val_store, train_labels, val_labels,
                     else jnp.asarray(train_store[1]))
         sample_f, sample_s = feats_tr[:2], scals_tr[:2]
         sample_y = labels_tr[:2]
-    feats_va = transfer.device_put_chunked(val_store[0])
-    scals_va = jnp.asarray(val_store[1])
     if mesh is not None:
         # val set stays replicated (its length rarely divides the mesh);
-        # make_eval_step's sharding constraint shards each gathered batch
-        feats_va = jax.device_put(feats_va, mesh_lib.replicated(mesh))
-        scals_va = jax.device_put(scals_va, mesh_lib.replicated(mesh))
+        # make_eval_step's sharding constraint shards each gathered batch.
+        # make_array_from_process_local_data instead of a plain device_put:
+        # under multi-process, device_put(replicated) runs an assert_equal
+        # across processes that FAILS on any NaN element (NaN != NaN) — and
+        # NaN features are a parity-faithful possibility (a constant CENS
+        # row on a degenerate clip z-scores to 0/0, exactly as librosa
+        # would). Every process holds the identical full store by
+        # construction (cli._load_or_build_store), so assembling from
+        # process-local data is equivalent and assert-free.
+        rep = mesh_lib.replicated(mesh)
+        feats_va = jax.make_array_from_process_local_data(
+            rep, np.asarray(val_store[0]))
+        scals_va = jax.make_array_from_process_local_data(
+            rep, np.asarray(val_store[1]))
+    else:
+        feats_va = transfer.device_put_chunked(val_store[0])
+        scals_va = jnp.asarray(val_store[1])
 
     if fused_spec is not None:
         from tpu_breath.features import extract_features
